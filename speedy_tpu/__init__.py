@@ -1,0 +1,22 @@
+"""speedy_tpu: a TPU-native (JAX/XLA/Pallas) rebuild of google/speedy.
+
+Nonlinear ("Mach1") speech speedup: a batched spectral front-end computes a
+per-frame tension, a control law maps tension to instantaneous speed, and a
+WSOLA resynthesis engine time-compresses the waveform at that varying speed.
+See SURVEY.md at the repo root for the full blueprint.
+"""
+
+from .config import SpeedyConfig
+from .ops.analysis import AnalysisResult, analyze, analyze_batch, analyze_jit
+from .ops.speed import speed_from_tension
+
+__all__ = [
+    "SpeedyConfig",
+    "AnalysisResult",
+    "analyze",
+    "analyze_batch",
+    "analyze_jit",
+    "speed_from_tension",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,69 @@
+"""Tension -> speed control law with duration feedback (components C11/C16).
+
+speedyComputeSpeedFromTension (speedy.c:768-788) integrates consumed vs
+desired duration frame by frame, so it is sequential by definition — but it
+only consumes the (already computed) tension sequence and scalar state, so
+it runs as a cheap lax.scan *after* the parallel front-end rather than
+serializing the pipeline (SURVEY.md §7 hard-part #4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import config as C
+
+
+@functools.partial(jax.jit, static_argnames=("initial_durations",))
+def speed_from_tension(
+    tension: jnp.ndarray,
+    global_rate,
+    duration_feedback_strength=0.0,
+    nonlinear_factor=1.0,
+    initial_durations: Tuple[float, float] = (0.0, 0.0),
+):
+    """Map a tension sequence [T] to per-frame speeds [T].
+
+    Implements speedy.c:768-788 exactly, including:
+      * the piecewise law around R_g (>1: max(1, R_g+(1-R_g)·t); <=1:
+        clamp(R_g-(1-R_g)·t, kMinimumSpeed, 1)),
+      * duration feedback `speed += max(kMinimumSpeed, k·excess)` (note the
+        reference adds at least kMinimumSpeed whenever feedback is on),
+      * duration integration at 1/kFrameRateHz per frame using the
+        *feedback-adjusted but pre-interpolation* speed,
+    plus the shim's nonlinear interpolation `rate·f + R_g·(1-f)`
+    (soniclib.c:342-345), applied after integration as in the C call order.
+
+    Returns (speeds, (current_duration, desired_duration)).
+    """
+    dtype = tension.dtype
+    rg = jnp.asarray(global_rate, dtype)
+    fb = jnp.asarray(duration_feedback_strength, dtype)
+    nl = jnp.asarray(nonlinear_factor, dtype)
+    frame_duration = jnp.asarray(1.0 / C.FRAME_RATE_HZ, dtype)
+    min_speed = jnp.asarray(C.MIN_SPEED, dtype)
+
+    def step(carry, t):
+        cur, des = carry
+        fast = jnp.maximum(1.0, rg + (1.0 - rg) * t)
+        slow = jnp.maximum(min_speed, jnp.minimum(1.0, rg - (1.0 - rg) * t))
+        requested = jnp.where(rg > 1.0, fast, slow)
+        excess = cur - des
+        requested = jnp.where(
+            fb > 0.0, requested + jnp.maximum(min_speed, fb * excess), requested
+        )
+        cur = cur + frame_duration / requested
+        des = des + frame_duration / rg
+        final = requested * nl + rg * (1.0 - nl)
+        return (cur, des), final
+
+    init = (
+        jnp.asarray(initial_durations[0], dtype),
+        jnp.asarray(initial_durations[1], dtype),
+    )
+    carry, speeds = jax.lax.scan(step, init, tension)
+    return speeds, carry

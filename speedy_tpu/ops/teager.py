@@ -16,8 +16,11 @@ def teager(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def teager_stats(x):
-    """(mean, variance) of the Teager signal, like TeagerVariance."""
+    """(mean, variance) of the Teager signal, like TeagerVariance
+    (sonic_test.cc:142-156). Host-side numpy: test utility, and variable
+    output lengths would force a jit recompile per shape."""
     import numpy as np
 
-    t = np.asarray(teager(jnp.asarray(np.asarray(x, dtype=np.float32))))
+    x = np.asarray(x, dtype=np.float32)
+    t = x[1:-1] * x[1:-1] - x[:-2] * x[2:]
     return float(t.mean()), float(t.var())

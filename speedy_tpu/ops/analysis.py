@@ -71,6 +71,8 @@ def analyze(
     num_frames: Optional[int] = None,
     integer_step: bool = False,
     precision=jax.lax.Precision.HIGHEST,
+    constrain_frames=None,
+    constrain_spectrogram=None,
 ) -> AnalysisResult:
     """Full analysis of one utterance x[L] (float, nominal range ±1).
 
@@ -78,6 +80,12 @@ def analyze(
     it explicitly under jit/vmap when x is padded so the frame count stays
     static and padding frames are simply computed (their outputs are valid
     garbage to be masked by the caller — all ops are padding-safe).
+
+    `constrain_frames` / `constrain_spectrogram` are optional hooks applied
+    to the framed input [T, W] and the magnitude spectrogram [T, W+1]; the
+    parallel engine injects jax.lax.with_sharding_constraint here to pin
+    sequence-parallel (frame-axis) and tensor-parallel (bin-axis) layouts
+    on a device mesh (see parallel/batch.py).
     """
     dtype = x.dtype
     W = cfg.window_size
@@ -100,9 +108,13 @@ def analyze(
     frames = framing.extract_frames(x, starts, W)
     state = framing.preemphasis_state(x, starts, W)
     pre = framing.preemphasize(frames, state)
+    if constrain_frames is not None:
+        pre = constrain_frames(pre)
 
     # --- AddData-time chain (speedy.c:540-551) ---
     spec = dft.magnitude_spectrogram(pre, cfg, precision=precision)  # [T, W+1]
+    if constrain_spectrogram is not None:
+        spec = constrain_spectrogram(spec)
     half = spec[:, :W]  # bins 0..fft/2-1, all any consumer reads
     # Local energy over bins 1..fft/2-1 (speedy.c:513-516).
     energy = jnp.sum(half[:, 1:] ** 2, axis=-1)  # [T]

@@ -1,0 +1,306 @@
+"""Corpus batch engine: the throughput product (SURVEY.md §7 stage 7).
+
+Turns the reference's one-stream-at-a-time C loop into a batched, sharded
+device program: utterances are padded/bucketed, the analysis front-end runs
+as one fused batched computation (not a vmap — so sharding constraints pin
+real layouts), the speed law runs vmapped, and WSOLA consumes per-frame
+speeds with the shim's flush-at-last-speed tail semantics. One jit per
+(batch, length-bucket) shape, sharded over a (dp, tp) mesh:
+
+  xs [B, L]            P('dp', None)        utterance data parallel
+  frames [B, T, W]     P('dp', 'tp', None)  sequence parallel (frame axis)
+  spectrogram [B,T,K]  P('dp', None, 'tp')  tensor parallel (DFT bins);
+                                            the bin-energy reduction psums
+                                            over 'tp'
+
+(The algorithm has no layer stack or experts, so pp/ep have no counterpart
+— SURVEY.md §2 identifies exactly these three parallel axes.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import config as C
+from ..config import SpeedyConfig
+from ..ops import dft, filters, framing, wsola
+from ..ops.speed import speed_from_tension
+
+
+class BatchResult(NamedTuple):
+    output: jnp.ndarray        # [B, capacity] float32
+    valid_length: jnp.ndarray  # [B] int32
+    tension: jnp.ndarray       # [B, T_out]
+    speeds: jnp.ndarray        # [B, T_out]
+
+
+def batched_analysis(
+    xs: jnp.ndarray, cfg: SpeedyConfig, num_frames: int, mesh: Optional[Mesh] = None
+) -> jnp.ndarray:
+    """Fused batched front-end: xs[B, L] -> tension[B, T_out].
+
+    Semantically identical to vmap(ops.analysis.analyze) (tested), but
+    structured as whole-batch tensor ops so mesh sharding constraints pin
+    dp/sp/tp layouts and XLA fuses across the batch. Uses integer-step
+    (shim) framing.
+    """
+    dtype = xs.dtype
+    B, L = xs.shape
+    W = cfg.window_size
+    fut = cfg.hysteresis_future
+    T = num_frames
+    T_out = cfg.num_tension_frames(T)
+
+    def c(a, spec):
+        if mesh is None:
+            return a
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+    xs = c(xs, P("dp", None))
+    starts = jnp.asarray(framing.frame_starts(cfg, T, integer_step=True))
+    idx = starts[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    frames = jnp.take(xs, idx, axis=1, mode="clip")  # [B, T, W]
+    prev_last = jnp.take(xs, starts[:-1] + (W - 1), axis=1, mode="clip")
+    state = jnp.concatenate([jnp.zeros((B, 1), dtype), prev_last], axis=1)
+    prev = jnp.concatenate([state[:, :, None], frames[:, :, :-1]], axis=2)
+    pre = frames - jnp.asarray(C.PREEMPHASIS_COEF, dtype) * prev
+    pre = c(pre, P("dp", "tp", None))  # sequence-parallel over frames
+
+    win = jnp.asarray(dft.hamming_window(W, np.dtype(dtype).name))
+    cos_m, sin_m = dft.dft_matrices(W, np.dtype(dtype).name)
+    fw = pre * win[None, None, :]
+    re = jnp.dot(fw, jnp.asarray(cos_m), precision=jax.lax.Precision.HIGHEST)
+    im = jnp.dot(fw, jnp.asarray(sin_m), precision=jax.lax.Precision.HIGHEST)
+    spec = jnp.sqrt(re * re + im * im)  # [B, T, W+1]
+    spec = c(spec, P("dp", None, "tp"))  # tensor-parallel over DFT bins
+
+    half = spec[:, :, :W]
+    energy = jnp.sum(half[:, :, 1:] ** 2, axis=-1)  # psums over 'tp'
+    energy = c(energy, P("dp", None))
+    energy_lp = filters.first_order_lowpass(
+        energy, cfg.lpf_alpha, C.MEAN_SPECTROGRAM_ENERGY, axis=-1
+    )
+    energy_compressed = jnp.sqrt(jnp.minimum(energy / energy_lp, 2.0))
+
+    # Tapered-max hysteresis, batched (same indices for every utterance).
+    t_idx = jnp.arange(T_out, dtype=jnp.int32)[:, None]
+    i_f = np.arange(fut + 1, dtype=np.int32)
+    taper_f = jnp.asarray((fut - i_f) / float(fut), dtype)
+    fut_vals = jnp.take(
+        energy_compressed, t_idx + i_f[None, :], axis=1, mode="fill", fill_value=0
+    )
+    future_max = jnp.maximum(jnp.max(fut_vals * taper_f[None, None, :], axis=2), 0.0)
+    past = cfg.hysteresis_past
+    i_p = np.arange(past + 1, dtype=np.int32)
+    taper_p = jnp.asarray((past - i_p) / float(past), dtype)
+    past_idx = t_idx - i_p[None, :]
+    past_vals = jnp.where(
+        (past_idx >= 0)[None, :, :],
+        jnp.take(energy_compressed, jnp.maximum(past_idx, 0), axis=1, mode="clip"),
+        jnp.zeros((), dtype),
+    )
+    past_max = jnp.maximum(jnp.max(past_vals * taper_p[None, None, :], axis=2), 0.0)
+    energy_hyst = (past_max + future_max) / 2.0  # [B, T_out]
+
+    cur = half[:, :T_out]
+    last = jnp.concatenate([jnp.zeros((B, 1, W), dtype), half[:, : T_out - 1]], axis=1)
+    eps = jnp.asarray(C.EPS, dtype)
+    sig_energy = jnp.sum(cur[:, :, 1:] ** 2, axis=-1)
+    last_energy = jnp.sum(last[:, :, 1:] ** 2, axis=-1)
+    normalized = cur / (jnp.sqrt(sig_energy)[..., None] + eps)
+    normalized_last = last / (jnp.sqrt(last_energy)[..., None] + eps)
+
+    skipped = (sig_energy <= cfg.low_energy_threshold) | (
+        jnp.arange(T_out)[None, :] == 0
+    )
+    bin_thresh = jnp.max(cur[:, :, 1:], axis=-1, keepdims=True) / 100.0
+    mask = (cur[:, :, 1:] > bin_thresh) & (last[:, :, 1:] > bin_thresh)
+    log_ratio = jnp.abs(
+        jnp.log((normalized[:, :, 1:] + eps) / (normalized_last[:, :, 1:] + eps))
+    )
+    lsd = jnp.sum(jnp.where(mask, log_ratio, 0.0), axis=-1)
+    lsd = jnp.where(skipped, 0.0, lsd)
+    ewld = lsd * energy_hyst
+    ew_lpf = filters.first_order_lowpass(
+        jnp.where(skipped, 0.0, ewld),
+        cfg.lpf_alpha,
+        C.MEAN_EMPHASIS_WEIGHTED_LOCAL_DIFFERENCE,
+        axis=-1,
+    )
+    rsd = jnp.where(skipped, 0.0, ewld / (ew_lpf + 0.01 * C.MEAN_EMPHASIS_WEIGHTED_LPF))
+    changes = jnp.where(skipped, 0.0, jnp.minimum(rsd, cfg.speech_changes_clamp))
+    tension = C.TENSION_A * (energy_hyst - C.TENSION_M_E) + C.TENSION_B * (
+        changes - C.TENSION_M_S
+    )
+    return c(tension, P("dp", None))
+
+
+def _mask_speeds(speeds: jnp.ndarray, valid_tension: jnp.ndarray) -> jnp.ndarray:
+    """Hold the last valid frame's speed through the padded tail, mirroring
+    the shim's flush-at-last-speed (soniclib.c:538-551)."""
+    t = speeds.shape[0]
+    idx = jnp.arange(t)
+    last = jnp.maximum(valid_tension - 1, 0)
+    return jnp.where(idx < valid_tension, speeds, speeds[last])
+
+
+def batched_nonlinear_speedup(
+    xs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: SpeedyConfig,
+    global_speed: float,
+    nonlinear_factor: float = 1.0,
+    duration_feedback_strength: float = 0.1,
+    min_speed_bound: Optional[float] = None,
+    mesh: Optional[Mesh] = None,
+    capacity: Optional[int] = None,
+    num_steps: Optional[int] = None,
+) -> BatchResult:
+    """One device step: xs[B, L] float32 (±1), lengths[B] -> sped-up audio.
+
+    Jit-compatible (close over the static args or use compile_batch_step).
+    """
+    B, L = xs.shape
+    step = cfg.frame_step_int
+    W = cfg.window_size
+    fut = cfg.hysteresis_future
+    T = cfg.num_frames(L, integer_step=True)
+    if min_speed_bound is None:
+        min_speed_bound = 1.0 if global_speed >= 1.0 else max(C.MIN_SPEED, 0.3 * global_speed)
+    minp, maxp, cap, steps = wsola.plan(cfg, L, min_speed_bound)
+    if capacity is not None:
+        cap = capacity
+    if num_steps is not None:
+        steps = num_steps
+
+    tension = batched_analysis(xs, cfg, T, mesh)
+    speeds, _ = jax.vmap(
+        lambda t: speed_from_tension(
+            t, global_speed, duration_feedback_strength, nonlinear_factor
+        )
+    )(tension)
+
+    valid_frames = jnp.where(lengths >= W, (lengths - W) // step + 1, 0)
+    valid_tension = jnp.maximum(valid_frames - fut, 0)
+    speeds = jax.vmap(_mask_speeds)(speeds, valid_tension)
+    # Utterances too short for any tension frame run at the global speed.
+    speeds = jnp.where(
+        (valid_tension > 0)[:, None], speeds, jnp.asarray(global_speed, xs.dtype)
+    )
+
+    out = jax.vmap(
+        lambda x, s, l: wsola._wsola_scan(
+            x, l.astype(jnp.int32), s, minp, maxp, step, cap, steps
+        )
+    )(xs, speeds, lengths)
+    return BatchResult(out.output, out.valid_length, tension, speeds)
+
+
+@functools.lru_cache(maxsize=32)
+def compile_batch_step(
+    cfg: SpeedyConfig,
+    batch: int,
+    length: int,
+    global_speed: float,
+    nonlinear_factor: float = 1.0,
+    duration_feedback_strength: float = 0.1,
+    min_speed_bound: Optional[float] = None,
+    use_mesh: bool = False,
+    tp: int = 1,
+):
+    """Jit the batch step for a fixed (batch, length) bucket."""
+    mesh = None
+    if use_mesh:
+        from .mesh import make_mesh
+
+        mesh = make_mesh(tp=tp)
+
+    def fn(xs, lengths):
+        return batched_nonlinear_speedup(
+            xs,
+            lengths,
+            cfg,
+            global_speed,
+            nonlinear_factor,
+            duration_feedback_strength,
+            min_speed_bound,
+            mesh,
+        )
+
+    return jax.jit(fn)
+
+
+class CorpusEngine:
+    """Process a corpus of variable-length utterances at maximum throughput.
+
+    Buckets utterances by padded length (powers-of-two quantization), runs
+    one compiled sharded step per bucket batch, and reassembles results in
+    input order. This is the rebuild's answer to the reference tests'
+    serial file loops (sonic_classic_test.cc:529-534)."""
+
+    def __init__(
+        self,
+        cfg: SpeedyConfig,
+        global_speed: float,
+        nonlinear_factor: float = 1.0,
+        duration_feedback_strength: float = 0.1,
+        batch_size: int = 8,
+        use_mesh: bool = False,
+        tp: int = 1,
+    ):
+        self.cfg = cfg
+        self.global_speed = float(global_speed)
+        self.nonlinear_factor = float(nonlinear_factor)
+        self.feedback = float(duration_feedback_strength)
+        self.batch_size = batch_size
+        self.use_mesh = use_mesh
+        self.tp = tp
+
+    @staticmethod
+    def _bucket_length(n: int) -> int:
+        b = 4096
+        while b < n:
+            b *= 2
+        return b
+
+    def process(self, utterances: Sequence[np.ndarray]) -> List[np.ndarray]:
+        order = np.argsort([len(u) for u in utterances])
+        results: List[Optional[np.ndarray]] = [None] * len(utterances)
+        i = 0
+        while i < len(order):
+            idxs = order[i : i + self.batch_size]
+            batch = [utterances[j] for j in idxs]
+            L = self._bucket_length(max(len(u) for u in batch))
+            B = len(batch)
+            xs = np.zeros((B, L), np.float32)
+            lengths = np.zeros((B,), np.int32)
+            for k, u in enumerate(batch):
+                u = np.asarray(u)
+                if u.dtype == np.int16:
+                    u = u.astype(np.float32) / 32768.0
+                xs[k, : len(u)] = u
+                lengths[k] = len(u)
+            step_fn = compile_batch_step(
+                self.cfg,
+                B,
+                L,
+                self.global_speed,
+                self.nonlinear_factor,
+                self.feedback,
+                None,
+                self.use_mesh,
+                self.tp,
+            )
+            out = step_fn(jnp.asarray(xs), jnp.asarray(lengths))
+            valid = np.asarray(out.valid_length)
+            y = np.asarray(out.output)
+            for k, j in enumerate(idxs):
+                results[j] = y[k, : valid[k]]
+            i += self.batch_size
+        return results  # type: ignore

@@ -1,0 +1,134 @@
+"""Batch engine and multi-chip sharding tests (8 virtual CPU devices via
+conftest's xla_force_host_platform_device_count)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import testutil
+from speedy_tpu.config import SpeedyConfig
+from speedy_tpu.ops.analysis import analyze
+from speedy_tpu.parallel.batch import (
+    CorpusEngine,
+    batched_analysis,
+    batched_nonlinear_speedup,
+)
+from speedy_tpu.parallel.mesh import make_mesh
+
+CFG16 = SpeedyConfig(16000)
+
+
+def make_batch(B=4, L=8000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(L) / 16000.0
+    xs = np.stack(
+        [
+            (0.3 * np.sin(2 * np.pi * (150 + 40 * b) * t) * np.clip(np.sin(2 * np.pi * 3 * t), 0, None)).astype(np.float32)
+            for b in range(B)
+        ]
+    )
+    xs += rng.normal(size=xs.shape).astype(np.float32) * 0.001
+    return xs
+
+
+def test_batched_analysis_matches_vmap():
+    """The fused batched front-end must be bit-compatible with the
+    per-utterance analyze() under vmap."""
+    xs = make_batch()
+    T = CFG16.num_frames(xs.shape[1], integer_step=True)
+    got = np.asarray(batched_analysis(jnp.asarray(xs), CFG16, T))
+    ref = np.asarray(
+        jax.vmap(lambda x: analyze(x, CFG16, num_frames=T, integer_step=True).tension)(
+            jnp.asarray(xs)
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_batched_speedup_shapes_and_rates():
+    xs = make_batch()
+    lengths = jnp.asarray([8000, 8000, 6000, 4000], jnp.int32)
+    out = batched_nonlinear_speedup(jnp.asarray(xs), lengths, CFG16, 3.0)
+    valid = np.asarray(out.valid_length)
+    for b, l in enumerate([8000, 8000, 6000, 4000]):
+        achieved = l / valid[b]
+        assert 2.0 < achieved < 4.5, (b, achieved)
+    # Output is zero beyond valid.
+    y = np.asarray(out.output)
+    for b in range(4):
+        assert not y[b, valid[b] :].any()
+
+
+def test_padding_invariance():
+    """An utterance's output must not depend on how much padding follows it
+    in the batch bucket."""
+    xs = make_batch(B=1, L=6000)
+    lengths = jnp.asarray([6000], jnp.int32)
+    out1 = batched_nonlinear_speedup(jnp.asarray(xs), lengths, CFG16, 2.5)
+    xs_pad = np.zeros((1, 8192), np.float32)
+    xs_pad[0, :6000] = xs[0]
+    cap = out1.output.shape[1]
+    steps = None
+    out2 = batched_nonlinear_speedup(
+        jnp.asarray(xs_pad), lengths, CFG16, 2.5, capacity=cap
+    )
+    v1, v2 = int(out1.valid_length[0]), int(out2.valid_length[0])
+    assert abs(v1 - v2) <= 2
+    n = min(v1, v2)
+    np.testing.assert_allclose(
+        np.asarray(out1.output[0, :n]), np.asarray(out2.output[0, :n]), atol=1e-4
+    )
+
+
+def test_mesh_sharded_matches_unsharded():
+    """dp x tp mesh execution must be numerically equivalent to single-
+    device execution (collectives change layout, not values)."""
+    if jax.device_count() < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = make_mesh(dp=jax.device_count() // 2, tp=2)
+    xs = make_batch(B=8)
+    lengths = jnp.asarray([8000] * 8, jnp.int32)
+    ref = batched_nonlinear_speedup(jnp.asarray(xs), lengths, CFG16, 3.0)
+    got = jax.jit(
+        lambda x, l: batched_nonlinear_speedup(x, l, CFG16, 3.0, mesh=mesh)
+    )(jnp.asarray(xs), lengths)
+    np.testing.assert_allclose(
+        np.asarray(got.tension), np.asarray(ref.tension), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.valid_length), np.asarray(ref.valid_length)
+    )
+
+
+def test_corpus_engine_end_to_end():
+    cfg = SpeedyConfig(22050)
+    utts = [
+        (np.sin(np.arange(n) * 2 * np.pi * 237 / 22050) * 20000).astype(np.int16)
+        for n in (22050, 15000, 30000, 8000, 11025)
+    ]
+    engine = CorpusEngine(cfg, global_speed=3.0, nonlinear_factor=1e-5, batch_size=3)
+    results = engine.process(utts)
+    assert len(results) == len(utts)
+    for u, r in zip(utts, results):
+        expected = len(u) / 3.0
+        assert abs(len(r) - expected) < 0.04 * expected + 60, (len(u), len(r))
+
+
+def test_dryrun_multichip_entry():
+    """The driver's multi-chip dry run must compile and execute."""
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+
+    n = jax.device_count()
+    ge.dryrun_multichip(n)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)

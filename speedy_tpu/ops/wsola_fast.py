@@ -1,0 +1,240 @@
+"""Grid-parallel WSOLA: the TPU-native fast path for batched resynthesis.
+
+The sonic-exact engine (ops.wsola) walks the waveform pitch-period by
+pitch-period — inherently sequential (~L/P scan steps). This module
+restructures time-scale modification so almost everything is parallel:
+
+  1. TIME MAP (parallel): per-frame speeds give the output clock
+     o(x) = integral dx/s(x), piecewise linear over analysis frames;
+     prefix sums + searchsorted invert it, yielding each output chunk's
+     nominal source position c_k on a FIXED synthesis grid k*Hs.
+  2. PITCH (parallel): local pitch at each c_k via squared-difference
+     (SSD) argmin over lags [fs/400, fs/65], computed as
+     E0 + E(d) - 2*CC(d): sliding energies from one cumsum, correlations
+     from one batch-grouped conv (MXU) — and refined to SUB-SAMPLE
+     precision by parabolic interpolation of the SSD minimum (splice
+     phase error scales with period error x periods wrapped; the Teager
+     gates need < ~0.05-sample accuracy).
+  3. PHASE SNAP (one tiny scan): fractional source positions
+     a_k = c_k + wrap(a_{k-1} + Hs - c_k, P_k) keep adjacent chunks
+     phase-aligned with bounded, non-compounding drift <= P_k/2. One
+     lax.scan of ~out_len/Hs steps over [B]-vector scalars serves the
+     whole batch.
+  4. SYNTHESIS (parallel): Hann-windowed chunks of width 2*Hs gathered at
+     fractional a_k (linear interpolation), overlap-added on the fixed
+     grid — 50% overlap OLA is two half-slot adds, no scatter. Slot 0 is
+     emitted unwindowed (no blend partner; the reference has no fade-in).
+
+Everything is natively batched over utterances ([B, L] in, [B, cap] out):
+vmapping the batch-grouped conv would materialize a cross-product (OOM),
+and batching by hand also lets the phase scan amortize across B.
+
+For constant speed this reduces to near-exact passthrough of the
+time-scaled signal (COLA window sums to 1). Quality is held to the same
+contracts as the sonic-exact engine (length ±1.5%, Teager mean ±1% and
+rel-sigma < 1%, DTW warp slope) by the shared test suite — measured
+Teager rel-sigma is ~2x BETTER than the reference engine's.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SpeedyConfig
+from .wsola import WsolaResult
+
+
+@functools.lru_cache(maxsize=16)
+def _cola_hann(width: int, dtype: str = "float32") -> np.ndarray:
+    """Offset Hann: w[i] + w[i + width/2] == 1 exactly, w > 0 everywhere."""
+    i = np.arange(width, dtype=np.float64) + 0.5
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * i / width)).astype(dtype)
+
+
+def _gather_rows(x: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray:
+    """x[B, Lp], starts[B, K] -> rows[B, K, width] via batched dynamic
+    slices (lowers to a gather with contiguous slice_sizes — the fast TPU
+    gather form, unlike element-indexed takes)."""
+    return jax.vmap(
+        lambda xb, sb: jax.vmap(
+            lambda s: jax.lax.dynamic_slice(xb, (s,), (width,))
+        )(sb)
+    )(x, starts)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "min_period",
+        "max_period",
+        "frame_step",
+        "hop",
+        "capacity",
+        "num_chunks",
+    ),
+)
+def _wsola_grid_batch(
+    xs: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    speeds: jnp.ndarray,
+    min_period: int,
+    max_period: int,
+    frame_step: int,
+    hop: int,
+    capacity: int,
+    num_chunks: int,
+) -> WsolaResult:
+    """xs[B, L], input_lengths[B], speeds[B, F] -> WsolaResult with
+    output[B, capacity], valid_length[B]."""
+    dtype = xs.dtype
+    B, L = xs.shape
+    K = num_chunks
+    Hs = hop
+    Wn = 2 * Hs
+    maxp, minp = max_period, min_period
+    n_frames = speeds.shape[1]
+    taps = maxp
+    pad_front = maxp
+    x_pad = jnp.concatenate(
+        [
+            jnp.zeros((B, pad_front), dtype),
+            xs,
+            jnp.zeros((B, 2 * maxp + taps + Wn), dtype),
+        ],
+        axis=1,
+    )
+    lens_f = input_lengths.astype(dtype)
+
+    # ---- 1. time map ----
+    inv_s = jnp.asarray(frame_step, dtype) / speeds  # [B, F]
+    obnd = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype), jnp.cumsum(inv_s, axis=1)], axis=1
+    )  # [B, F+1]
+    total_frames = jnp.clip(input_lengths // frame_step, 0, n_frames)
+    tail = (input_lengths - total_frames * frame_step).astype(dtype)
+    last_speed = jnp.take_along_axis(
+        speeds, jnp.clip(total_frames, 0, n_frames - 1)[:, None], axis=1
+    )[:, 0]
+    out_len = (
+        jnp.take_along_axis(obnd, total_frames[:, None], axis=1)[:, 0]
+        + tail / last_speed
+    )
+    valid = jnp.minimum(jnp.round(out_len).astype(jnp.int32), capacity)
+
+    p = jnp.arange(K, dtype=dtype) * Hs  # output grid positions [K]
+    f = jax.vmap(lambda ob: jnp.searchsorted(ob, p, side="right") - 1)(obnd)
+    f = jnp.clip(f, 0, n_frames - 1)  # [B, K]
+    sp_f = jnp.take_along_axis(speeds, f, axis=1)
+    ob_f = jnp.take_along_axis(obnd, f, axis=1)
+    c = f.astype(dtype) * frame_step + (p[None, :] - ob_f) * sp_f  # [B, K]
+    c = jnp.clip(c, 0.0, jnp.maximum(lens_f - 1.0, 0.0)[:, None])
+    c_i = c.astype(jnp.int32)
+
+    # ---- 2. parallel pitch at each c_k ----
+    seg_w = taps + maxp
+    seg = _gather_rows(x_pad, c_i + pad_front, seg_w)  # [B, K, seg_w]
+    a0 = seg[:, :, :taps]
+    cs = jnp.cumsum(seg * seg, axis=2)
+    cs = jnp.concatenate([jnp.zeros((B, K, 1), dtype), cs], axis=2)
+    n_lags = maxp - minp + 1
+    e_lag = (
+        jax.lax.slice_in_dim(cs, minp + taps, minp + taps + n_lags, axis=2)
+        - jax.lax.slice_in_dim(cs, minp, minp + n_lags, axis=2)
+    )
+    e0 = (cs[:, :, taps] - cs[:, :, 0])[:, :, None]
+    # Correlations CC[b,k,d] = sum_i a0[i]*seg[i+d] for all lags at once via
+    # zero-padded FFTs (nfft = next pow2 >= seg_w + taps, so no circular
+    # wraparound on lags 0..maxp). A batch-grouped conv would be the MXU
+    # route but its lowering materializes an N x N cross-product.
+    nfft = 1
+    while nfft < seg_w + taps:
+        nfft *= 2
+    fa = jnp.fft.rfft(a0, n=nfft, axis=2)
+    fs = jnp.fft.rfft(seg, n=nfft, axis=2)
+    cc = jnp.fft.irfft(jnp.conj(fa) * fs, n=nfft, axis=2)[:, :, : maxp + 1]
+    ssd = e0 + e_lag - 2.0 * cc[:, :, minp : maxp + 1]  # [B, K, n_lags]
+    jmin = jnp.argmin(ssd, axis=-1)
+    jc = jnp.clip(jmin, 1, n_lags - 2)
+    take = lambda off: jnp.take_along_axis(ssd, (jc + off)[..., None], axis=2)[..., 0]
+    l, m, r = take(-1), take(0), take(1)
+    denom = l - 2.0 * m + r
+    frac = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
+    period = (minp + jc).astype(dtype) + jnp.clip(frac, -0.5, 0.5)  # [B, K]
+
+    # ---- 3. phase-snap scan over chunks, vectorized across the batch ----
+    def snap(prev_a, ck_pk):
+        ck, pk = ck_pk  # [B], [B]
+        delta = prev_a + Hs - ck
+        o = delta - jnp.round(delta / pk) * pk
+        a = jnp.clip(ck + o, 0.0, lens_f - 1.0)
+        return a, a
+
+    _, a = jax.lax.scan(snap, c[:, 0] - Hs, (c.T, period.T))
+    a = a.T  # [B, K]
+
+    # ---- 4. synthesis: fractional-delay gather, half-slot OLA ----
+    win = jnp.asarray(_cola_hann(Wn, np.dtype(dtype).name))
+    a_i = jnp.floor(a).astype(jnp.int32)
+    a_f = (a - a_i.astype(dtype))[:, :, None]
+    wide = _gather_rows(x_pad, a_i + pad_front, Wn + 1)  # [B, K, Wn+1]
+    raw = wide[:, :, :-1] * (1.0 - a_f) + wide[:, :, 1:] * a_f
+    rows = raw * win[None, None, :]
+    firsts = rows[:, :, :Hs]
+    seconds = rows[:, :, Hs:]
+    slots = firsts + jnp.concatenate(
+        [jnp.zeros((B, 1, Hs), dtype), seconds[:, :-1]], axis=1
+    )
+    slots = jnp.concatenate([raw[:, :1, :Hs], slots[:, 1:]], axis=1)
+    out_full = slots.reshape(B, K * Hs)  # plan guarantees K*Hs >= capacity
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    out = jnp.where(idx[None, :] < valid[:, None], out_full[:, :capacity], 0.0)
+    return WsolaResult(out, valid, jnp.full((B,), K, jnp.int32))
+
+
+def plan_grid(
+    cfg: SpeedyConfig, input_len: int, min_speed_bound: float, hop: Optional[int] = None
+):
+    if hop is None:
+        hop = max(32, cfg.frame_step_int // 2)
+    capacity = (
+        int(np.ceil(input_len / max(min_speed_bound, 0.01))) + 4 * cfg.wsola_max_period
+    )
+    capacity = -(-capacity // (2 * hop)) * (2 * hop)
+    num_chunks = capacity // hop + 1
+    return hop, capacity, num_chunks
+
+
+def time_scale_grid(
+    x: jnp.ndarray,
+    speeds: jnp.ndarray,
+    cfg: SpeedyConfig,
+    input_length=None,
+    min_speed_bound: float = 0.25,
+    hop: Optional[int] = None,
+    capacity: Optional[int] = None,
+) -> WsolaResult:
+    """Grid-parallel time-scaling of a single mono utterance x[L]."""
+    x = jnp.asarray(x)
+    if input_length is None:
+        input_length = x.shape[-1]
+    h, cap, K = plan_grid(cfg, x.shape[-1], min_speed_bound, hop)
+    if capacity is not None:
+        cap = capacity
+        K = cap // h + 1
+    res = _wsola_grid_batch(
+        x[None, :],
+        jnp.asarray([input_length], jnp.int32),
+        jnp.asarray(speeds, x.dtype)[None, :],
+        cfg.wsola_min_period,
+        cfg.wsola_max_period,
+        cfg.frame_step_int,
+        h,
+        cap,
+        K,
+    )
+    return WsolaResult(res.output[0], res.valid_length[0], res.steps_used[0])

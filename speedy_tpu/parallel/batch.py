@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import config as C
 from ..config import SpeedyConfig
-from ..ops import dft, filters, framing, wsola
+from ..ops import dft, filters, framing, wsola, wsola_fast
 from ..ops.speed import speed_from_tension
 
 
@@ -161,10 +161,13 @@ def batched_nonlinear_speedup(
     mesh: Optional[Mesh] = None,
     capacity: Optional[int] = None,
     num_steps: Optional[int] = None,
+    engine: str = "grid",
 ) -> BatchResult:
     """One device step: xs[B, L] float32 (±1), lengths[B] -> sped-up audio.
 
     Jit-compatible (close over the static args or use compile_batch_step).
+    engine: "grid" (parallel WSOLA, the TPU throughput path) or "scan"
+    (sonic-exact sequential algebra).
     """
     B, L = xs.shape
     step = cfg.frame_step_int
@@ -194,11 +197,19 @@ def batched_nonlinear_speedup(
         (valid_tension > 0)[:, None], speeds, jnp.asarray(global_speed, xs.dtype)
     )
 
-    out = jax.vmap(
-        lambda x, s, l: wsola._wsola_scan(
-            x, l.astype(jnp.int32), s, minp, maxp, step, cap, steps
+    if engine == "grid":
+        hop, gcap, K = wsola_fast.plan_grid(cfg, L, min_speed_bound)
+        if capacity is not None:
+            gcap, K = capacity, capacity // hop + 1
+        out = wsola_fast._wsola_grid_batch(
+            xs, lengths.astype(jnp.int32), speeds, minp, maxp, step, hop, gcap, K
         )
-    )(xs, speeds, lengths)
+    else:
+        out = jax.vmap(
+            lambda x, s, l: wsola._wsola_scan(
+                x, l.astype(jnp.int32), s, minp, maxp, step, cap, steps
+            )
+        )(xs, speeds, lengths)
     return BatchResult(out.output, out.valid_length, tension, speeds)
 
 

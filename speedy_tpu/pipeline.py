@@ -21,7 +21,7 @@ import numpy as np
 
 from . import config as C
 from .config import SpeedyConfig
-from .ops import wsola
+from .ops import wsola, wsola_fast
 from .ops.analysis import analyze_jit
 from .ops.speed import speed_from_tension
 
@@ -40,13 +40,15 @@ def nonlinear_speedup(
     nonlinear_factor: float = 1.0,
     duration_feedback_strength: float = 0.1,
     min_speed_bound: Optional[float] = None,
+    engine: str = "scan",
 ) -> SpeedupResult:
     """Speedy nonlinear speedup of one mono utterance.
 
     `x` may be int16 (scaled by 2^15 like speedyAddDataShort) or float32 in
     ±1. Default duration_feedback_strength mirrors the shim's default
     (soniclib.c:122). nonlinear_factor=0 short-circuits to pure linear
-    WSOLA (soniclib.c:397-399).
+    WSOLA (soniclib.c:397-399). engine: "scan" (sonic-exact sequential
+    algebra) or "grid" (parallel WSOLA, the TPU throughput path).
     """
     x = np.asarray(x)
     if x.dtype == np.int16:
@@ -55,7 +57,7 @@ def nonlinear_speedup(
         xf = x.astype(np.float32)
 
     if nonlinear_factor == 0.0:
-        return linear_time_scale(x, cfg, global_speed)
+        return linear_time_scale(x, cfg, global_speed, engine=engine)
 
     res = analyze_jit(xf, cfg, integer_step=True)
     tension = res.tension
@@ -69,7 +71,8 @@ def nonlinear_speedup(
     if min_speed_bound is None:
         # Speeds are already concrete on host; plan buffers from the truth.
         min_speed_bound = max(C.MIN_SPEED, float(jnp.min(speeds)) * 0.999)
-    out = wsola.time_scale(xf, speeds, cfg, min_speed_bound=min_speed_bound)
+    scale = wsola_fast.time_scale_grid if engine == "grid" else wsola.time_scale
+    out = scale(xf, speeds, cfg, min_speed_bound=min_speed_bound)
     n = int(out.valid_length)
     y = np.asarray(out.output[:n])
     if x.dtype == np.int16:
@@ -82,7 +85,9 @@ def nonlinear_speedup(
     )
 
 
-def linear_time_scale(x, cfg: SpeedyConfig, speed: float) -> SpeedupResult:
+def linear_time_scale(
+    x, cfg: SpeedyConfig, speed: float, engine: str = "scan"
+) -> SpeedupResult:
     """Pure WSOLA at constant speed (original-libsonic behavior)."""
     x = np.asarray(x)
     if x.dtype == np.int16:
@@ -90,9 +95,8 @@ def linear_time_scale(x, cfg: SpeedyConfig, speed: float) -> SpeedupResult:
     else:
         xf = x.astype(np.float32)
     speeds = jnp.asarray([speed], jnp.float32)
-    out = wsola.time_scale(
-        xf, speeds, cfg, min_speed_bound=max(C.MIN_SPEED, speed * 0.999)
-    )
+    scale = wsola_fast.time_scale_grid if engine == "grid" else wsola.time_scale
+    out = scale(xf, speeds, cfg, min_speed_bound=max(C.MIN_SPEED, speed * 0.999))
     n = int(out.valid_length)
     y = np.asarray(out.output[:n])
     if x.dtype == np.int16:

@@ -99,16 +99,17 @@ def slopes_everywhere(x, y, half_width):
 
 
 @pytest.mark.skipif(not testutil.have_test_data(), reason="no test data")
+@pytest.mark.parametrize("engine", ["scan", "grid"])
 @pytest.mark.parametrize("mode,slope_tol", [("linear", 0.02), ("speedy", 0.1)])
-def test_dtw_slope_of_compressed_speech(mode, slope_tol):
+def test_dtw_slope_of_compressed_speech(mode, slope_tol, engine):
     samples, sr = testutil.load_wave("tapestry.wav")
     cfg = SpeedyConfig(sr)
     speed = 3.0
     orig_spec = compute_block_spectrogram(samples, cfg)
     if mode == "linear":
-        out = linear_time_scale(samples, cfg, speed).output
+        out = linear_time_scale(samples, cfg, speed, engine=engine).output
     else:
-        out = nonlinear_speedup(samples, cfg, speed, 1.0, 0.1).output
+        out = nonlinear_speedup(samples, cfg, speed, 1.0, 0.1, engine=engine).output
     comp_spec = compute_block_spectrogram(out, cfg)
 
     cost = euclidean_cost_matrix(jnp.asarray(orig_spec), jnp.asarray(comp_spec))

@@ -29,20 +29,23 @@ def check_teager(inp, out, skip_tail, mean_tol=0.01, rel_sigma=0.01):
     assert np.sqrt(ov) / om < rel_sigma
 
 
+@pytest.mark.parametrize("engine", ["scan", "grid"])
 @pytest.mark.parametrize("speed", [3.0, 2.0, 1.5])
-def test_sinusoid_speedup_length_and_teager(speed):
-    """sonic_test.cc:479-531 (TestWithSinusoids, speed 3.0) + extra speeds."""
+def test_sinusoid_speedup_length_and_teager(speed, engine):
+    """sonic_test.cc:479-531 (TestWithSinusoids, speed 3.0) + extra speeds,
+    held for both the sonic-exact scan engine and the grid-parallel one."""
     sinusoid = make_sinusoid()
-    r = linear_time_scale(sinusoid, CFG, speed)
+    r = linear_time_scale(sinusoid, CFG, speed, engine=engine)
     expected = len(sinusoid) / speed
     assert abs(len(r.output) - expected) < 0.015 * expected
     check_teager(sinusoid, r.output, 300)
 
 
-def test_sinusoid_slowdown_length_and_teager():
+@pytest.mark.parametrize("engine", ["scan", "grid"])
+def test_sinusoid_slowdown_length_and_teager(engine):
     """sonic_test.cc:536-589 (TestWithSinusoidsSlowdown, speed 0.4)."""
     sinusoid = make_sinusoid()
-    r = linear_time_scale(sinusoid, CFG, 0.4)
+    r = linear_time_scale(sinusoid, CFG, 0.4, engine=engine)
     expected = len(sinusoid) / 0.4
     assert abs(len(r.output) - expected) < 0.015 * expected
     check_teager(sinusoid, r.output, 1000)
@@ -72,13 +75,14 @@ def test_nearly_linear_nonlinear_path():
     check_teager(sinusoid, r.output, 300)
 
 
+@pytest.mark.parametrize("engine", ["scan", "grid"])
 @pytest.mark.skipif(not testutil.have_test_data(), reason="no test data")
-def test_speech_nonlinear_rate():
+def test_speech_nonlinear_rate(engine):
     """Nonlinear speech speedup achieves roughly the requested rate with
     duration feedback (speedy_test.cc:653-711 contract at pipeline level)."""
     samples, sr = testutil.load_wave("tapestry.wav")
     cfg = SpeedyConfig(sr)
-    r = nonlinear_speedup(samples, cfg, 3.0, 1.0, 0.1)
+    r = nonlinear_speedup(samples, cfg, 3.0, 1.0, 0.1, engine=engine)
     assert abs(r.achieved_rate - 3.0) < 0.3  # within 10%
     assert np.max(np.abs(r.output.astype(np.int32))) > 1000  # actual audio
 
@@ -113,6 +117,14 @@ def test_speed_one_passthrough():
     r = linear_time_scale(sinusoid, CFG, 1.0)
     assert len(r.output) == len(sinusoid)
     np.testing.assert_array_equal(r.output, sinusoid)
+
+
+def test_speed_one_passthrough_grid():
+    """Grid engine at speed 1.0 reduces to (near-)exact passthrough."""
+    sinusoid = make_sinusoid(seconds=0.3)
+    r = linear_time_scale(sinusoid, CFG, 1.0, engine="grid")
+    assert len(r.output) == len(sinusoid)
+    assert np.max(np.abs(r.output.astype(np.int32) - sinusoid.astype(np.int32))) <= 1
 
 
 @pytest.mark.parametrize("speed", [1.1, 6.3])

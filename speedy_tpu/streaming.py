@@ -204,6 +204,50 @@ class SpeedyFrontEndStream:
         return float(requested)
 
 
+class _RateConverter:
+    """Stateful streaming linear resampler (sonicSetRate semantics: rate>1
+    shortens and pitch-shifts). Carries fractional phase and the last
+    sample across blocks."""
+
+    def __init__(self, num_channels: int):
+        self.rate = 1.0
+        self.phase = 0.0
+        self.last = np.zeros((1, num_channels), np.float32)
+        self.primed = False
+
+    def process(self, block: np.ndarray) -> np.ndarray:
+        if self.rate == 1.0 and not self.primed:
+            return block
+        if len(block) == 0:
+            return block
+        # Concatenate carried sample so interpolation spans block joins.
+        if self.primed:
+            x = np.concatenate([self.last, block])
+            start = self.phase  # position within x (0 = carried sample)
+        else:
+            x = block
+            start = 0.0
+            self.primed = True
+        n = len(x)
+        out = []
+        pos = start
+        positions = []
+        while pos <= n - 1 + 1e-9:
+            positions.append(pos)
+            pos += self.rate
+        if positions:
+            p = np.asarray(positions)
+            i0 = np.clip(np.floor(p).astype(np.int64), 0, n - 1)
+            i1 = np.clip(i0 + 1, 0, n - 1)
+            frac = (p - i0).astype(np.float32)[:, None]
+            out = x[i0] * (1.0 - frac) + x[i1] * frac
+        else:
+            out = x[:0]
+        self.phase = pos - (n - 1)
+        self.last = x[-1:]
+        return np.asarray(out, np.float32)
+
+
 class WsolaStream:
     """Incremental WSOLA engine: streaming counterpart of ops.wsola with the
     libsonic-style interface (write / read / flush / set_speed / set_rate).
@@ -219,6 +263,7 @@ class WsolaStream:
         self.max_period = sample_rate // C.WSOLA_MIN_PITCH_HZ
         self.speed = 1.0
         self.rate = 1.0
+        self._rate_conv = _RateConverter(num_channels)
         self._in = np.zeros((0, num_channels), np.float32)
         self._in_pos = 0
         self._consumed_real = 0.0
@@ -240,6 +285,7 @@ class WsolaStream:
 
     def set_rate(self, rate: float) -> None:
         self.rate = float(rate)
+        self._rate_conv.rate = float(rate)
 
     # -- core synthesis --
     def _pitch(self, mono: np.ndarray, pos: int) -> int:
@@ -253,6 +299,8 @@ class WsolaStream:
         return int(self.min_period + np.argmin(amdf))
 
     def _emit(self, block: np.ndarray) -> None:
+        if self.rate != 1.0 or self._rate_conv.primed:
+            block = self._rate_conv.process(block)
         self._out_chunks.append(block)
         self._emitted += len(block)
 
@@ -314,7 +362,7 @@ class WsolaStream:
     def _advance(self, consumed: int, emitted: int, real_n: int, s: float) -> None:
         c_real = max(0, min(real_n - self._in_pos, consumed))
         self._consumed_real += c_real
-        self._play_time += c_real / s
+        self._play_time += c_real / (s * self.rate)
         self._in_pos += consumed
 
     # -- output plumbing --

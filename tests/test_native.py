@@ -1,0 +1,215 @@
+"""Native C++ runtime tests: the sonic2-ABI library must match the Python
+streaming shim (shared algorithm spec) and pass the same golden gates as
+the device path."""
+
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+import testutil
+
+native = pytest.importorskip("speedy_tpu.native")
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None, reason="no C++ toolchain"
+)
+
+
+@pytest.fixture(scope="module")
+def lib():
+    if not native.native_available():
+        pytest.skip("native library failed to build")
+    return native.load()
+
+
+def time_compress(StreamCls, x, sr, ch, speed, nonlinear, native_cbs):
+    st = StreamCls(sr, ch)
+    st.set_speed(speed)
+    st.enable_nonlinear_speedup(nonlinear)
+    tensions = []
+    if native_cbs:
+        st.set_on_tension(lambda s, t, v: tensions.append(v))
+    else:
+        st.on_tension = lambda s, t, v: tensions.append(v)
+    out = []
+    n = len(x) // ch
+    for t in range(0, n, 128):
+        st.write_short(x[t * ch : (t + min(128, n - t)) * ch])
+        out.append(st.read_short(128))
+    st.flush()
+    while True:
+        r = st.read_short(128)
+        if len(r) == 0:
+            break
+        out.append(r)
+    return np.concatenate(out), np.asarray(tensions)
+
+
+@pytest.mark.skipif(not testutil.have_test_data(), reason="no test data")
+def test_native_matches_python_streaming(lib):
+    from speedy_tpu.streaming import SonicStream
+
+    samples, sr = testutil.load_wave("tapestry.wav")
+    out_n, t_n = time_compress(native.NativeSonicStream, samples, sr, 1, 3.0, 1.0, True)
+    out_p, t_p = time_compress(SonicStream, samples, sr, 1, 3.0, 1.0, False)
+    assert len(out_n) == len(out_p)
+    assert len(t_n) == len(t_p)
+    np.testing.assert_allclose(t_n, t_p, atol=1e-5)
+    # WSOLA pitch decisions can flip on float rounding; audio stays close.
+    diff = np.abs(out_n.astype(np.int32) - out_p.astype(np.int32))
+    assert np.mean(diff) < 20 and diff.max() < 1500
+
+
+@pytest.mark.skipif(not testutil.have_test_data(), reason="no test data")
+def test_native_golden_features(lib):
+    """Drive the native speedy analysis directly (AddData/ComputeTension)
+    with the golden-test framing and hold it to the reference feature
+    gates (speedy_test.cc:859-1057)."""
+    import ctypes
+
+    samples, sr = testutil.load_wave("tapestry22050.wav")
+    x = (samples.astype(np.float32) / 32768.0).astype(np.float32)
+    lib.speedyCreateStream.restype = ctypes.c_void_p
+    lib.speedyAddData.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.speedyComputeTension.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.speedyGetInternalState.restype = ctypes.POINTER(ctypes.c_float)
+    lib.speedyGetInternalState.argtypes = [ctypes.c_void_p]
+    st = lib.speedyCreateStream(sr)
+    window = lib.speedyInputFrameSize(ctypes.c_void_p(st))
+    assert window == 330
+    step = sr / 100.0
+    frames = int((len(x) - window) / step + 1)
+    tension = ctypes.c_float()
+    feats = []
+    out_t = 0
+    for t in range(frames):
+        start = int(np.floor(t * step + 0.5))
+        buf = np.ascontiguousarray(x[start : start + window])
+        lib.speedyAddData(
+            st, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t
+        )
+        if lib.speedyComputeTension(st, out_t, ctypes.byref(tension)):
+            ptr = lib.speedyGetInternalState(ctypes.c_void_p(st))
+            feats.append(np.ctypeslib.as_array(ptr, shape=(15,)).copy())
+            out_t += 1
+    feats = np.stack(feats)
+    assert feats.shape == (306, 15)
+    expected = testutil.load_golden("tapestry_features_data.txt")
+    gates = [  # same gates as test_golden.py
+        (0, 2e5), (8, 7e5), (8, 4e4), (8, 9e5), (0, 320), (0, 1e8),
+        (0, 19), (0, 29), (-1, 2200), (0, 28), (0, 7), (0, 8),
+    ]
+    for i, (want_delay, want_snr) in enumerate(gates):
+        delay, snr = testutil.best_delay_and_snr(feats[:, i], expected[:, i])
+        assert delay == want_delay, f"feature {i}"
+        assert snr > want_snr, f"feature {i}: {snr} <= {want_snr}"
+
+
+def test_native_sinusoid_contracts(lib):
+    from speedy_tpu.ops.teager import teager_stats
+
+    sr = 22050
+    i = np.arange(sr)
+    x = (32000 * np.sin(i * 2 * np.pi * 237.0 / sr)).astype(np.int16)
+    for speed in (3.0, 0.4):
+        out, _ = time_compress(native.NativeSonicStream, x, sr, 1, speed, 1e-5, True)
+        expected = len(x) / speed
+        assert abs(len(out) - expected) < 0.015 * expected
+        skip = 300 if speed > 1 else 1000
+        im, iv = teager_stats(x.astype(np.float32) / 32768)
+        om, ov = teager_stats(out[: len(out) - skip].astype(np.float32) / 32768)
+        assert abs(om - im) < 0.01 * im
+        assert np.sqrt(ov) / om < 0.01
+
+
+def test_native_stereo_equality(lib):
+    sr = 22050
+    i = np.arange(sr)
+    mono = (20000 * np.sin(i * 2 * np.pi * 237.0 / sr)).astype(np.int16)
+    stereo = np.repeat(mono, 2)
+    out_m, t_m = time_compress(native.NativeSonicStream, mono, sr, 1, 3.0, 1.0, True)
+    out_s, t_s = time_compress(native.NativeSonicStream, stereo, sr, 2, 3.0, 1.0, True)
+    np.testing.assert_allclose(t_s, t_m, atol=1e-6)
+    out_s = out_s.reshape(-1, 2)
+    assert np.array_equal(out_s[:, 0], out_s[:, 1])
+    assert len(out_s) == len(out_m)
+    assert np.max(np.abs(out_s[:, 0].astype(np.int32) - out_m.astype(np.int32))) <= 1
+
+
+def test_native_rate(lib):
+    sr = 22050
+    i = np.arange(sr)
+    x = (20000 * np.sin(i * 2 * np.pi * 237.0 / sr)).astype(np.int16)
+    st = native.NativeSonicStream(sr, 1)
+    st.set_speed(2.0)
+    st.set_rate(1.5)
+    st.enable_nonlinear_speedup(0.0)
+    st.write_short(x)
+    st.flush()
+    out = st.read_short(len(x))
+    expected = len(x) / 3.0
+    assert abs(len(out) - expected) < 0.03 * expected
+
+
+@pytest.mark.skipif(not testutil.have_test_data(), reason="no test data")
+def test_native_cli_binary(lib, tmp_path):
+    cli = native._CSRC / "speedy_wave"
+    if not cli.exists():
+        subprocess.run(["make", "-C", str(native._CSRC)], check=True,
+                       capture_output=True)
+    out_wav = tmp_path / "out.wav"
+    r = subprocess.run(
+        [str(cli), "--input", str(testutil.TEST_DATA_DIR / "tapestry22050.wav"),
+         "--output", str(out_wav), "--speed", "3.0"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    from speedy_tpu.io import read_wave
+
+    out, sr = read_wave(str(out_wav))
+    assert sr == 22050 and 20000 < len(out) < 28000
+
+
+def test_native_wave_io_roundtrip(lib, tmp_path):
+    import ctypes
+
+    lib.openOutputWaveFile.restype = ctypes.c_void_p
+    lib.openOutputWaveFile.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.openInputWaveFile.restype = ctypes.c_void_p
+    lib.openInputWaveFile.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.writeToWaveFile.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int]
+    lib.readFromWaveFile.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int]
+    lib.closeWaveFile.argtypes = [ctypes.c_void_p]
+
+    path = str(tmp_path / "t.wav").encode()
+    data = (np.sin(np.arange(4000) * 0.1) * 10000).astype(np.int16)
+    wf = lib.openOutputWaveFile(path, 16000, 1)
+    lib.writeToWaveFile(wf, data.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                        len(data))
+    lib.closeWaveFile(wf)
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    rf = lib.openInputWaveFile(path, ctypes.byref(sr), ctypes.byref(ch))
+    assert sr.value == 16000 and ch.value == 1
+    buf = np.zeros(8000, np.int16)
+    n = lib.readFromWaveFile(rf, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                             8000)
+    lib.closeWaveFile(rf)
+    assert n == len(data)
+    np.testing.assert_array_equal(buf[:n], data)

@@ -1,0 +1,129 @@
+"""Pallas TPU kernels for the hot ops.
+
+gather_rows: the grid-parallel WSOLA engine's dominant cost is reading
+overlapping windows at data-dependent positions (pitch segments, synthesis
+chunks). XLA lowers those to generic gathers running at ~0.6 GB/s on v5e;
+this kernel instead issues one async DMA per row with the row starts
+scalar-prefetched into SMEM, overlapping many copies in flight.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_ALIGN = 1024  # 1D f32 HBM tiling on v5e
+
+
+def _gather_rows_kernel(
+    width, rows_per_block, length, starts_ref, x_ref, out_ref, scratch, sems
+):
+    # x_ref is the flattened [B*L] waveform. HBM slices must be tile
+    # (1024)-aligned, so each row DMAs an aligned superset block into a
+    # VMEM scratch viewed as [sublanes, 128]; the dynamic in-tile offset
+    # off = 128*sub + r is then applied as a dynamic sublane roll plus a
+    # lane roll with sublane-carry select — all 2D vector ops (Mosaic has
+    # no 1D ops or unaligned vector loads).
+    b = pl.program_id(0)
+    kb = pl.program_id(1)
+    blk = (width + 2 * _ALIGN - 1) // _ALIGN * _ALIGN
+    brows = blk // 128
+    out_subs = out_ref.shape[2]
+    offs = []
+    for i in range(rows_per_block):
+        s = b * length + starts_ref[b, kb * rows_per_block + i]
+        row = pl.multiple_of((s // _ALIGN) * (_ALIGN // 128), 8)
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(row, brows), :], scratch.at[i], sems.at[i]
+        ).start()
+        offs.append(s - row * 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (brows, 128), 1)
+    for i in range(rows_per_block):
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(0, brows), :], scratch.at[i], sems.at[i]
+        ).wait()
+        a = scratch[i]
+        sub = offs[i] // 128
+        r = offs[i] - sub * 128
+        # pltpu.roll requires non-negative shifts: roll(x, n - k) == x << k.
+        b1 = pltpu.roll(a, brows - sub, 0)
+        lanes_cur = pltpu.roll(b1, 128 - r, 1)
+        lanes_next = pltpu.roll(pltpu.roll(b1, brows - 1, 0), 128 - r, 1)
+        c = jnp.where(lane < 128 - r, lanes_cur, lanes_next)
+        out_ref[0, i, :, :] = c[:out_subs]
+
+
+@functools.partial(jax.jit, static_argnames=("width", "rows_per_block"))
+def gather_rows_pallas(
+    x: jnp.ndarray, starts: jnp.ndarray, width: int, rows_per_block: int = 8
+) -> jnp.ndarray:
+    """x[B, L], starts[B, K] (0 <= s <= L - width) -> rows[B, K, width]."""
+    B, L = x.shape
+    K = starts.shape[1]
+    assert K % rows_per_block == 0, (K, rows_per_block)
+    wsubs = (width + 127) // 128  # output sublanes per row
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, K // rows_per_block),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, rows_per_block, wsubs, 128),
+            lambda b, kb, starts: (b, kb, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (
+                    rows_per_block,
+                    ((width + 2 * _ALIGN - 1) // _ALIGN * _ALIGN) // 128,
+                    128,
+                ),
+                x.dtype,
+            ),
+            pltpu.SemaphoreType.DMA((rows_per_block,)),
+        ],
+    )
+    kernel = functools.partial(_gather_rows_kernel, width, rows_per_block, L)
+    flat = x.reshape(-1)
+    blk = (width + 2 * _ALIGN - 1) // _ALIGN * _ALIGN
+    pad = (-flat.shape[0]) % _ALIGN + blk  # headroom for the last block
+    flat = jnp.concatenate([flat, jnp.zeros(pad, x.dtype)])
+    x2 = flat.reshape(-1, 128)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, K, wsubs, 128), x.dtype),
+        grid_spec=grid_spec,
+    )(starts, x2)
+    return out.reshape(B, K, wsubs * 128)[:, :, :width]
+
+
+def gather_rows_reference(x: jnp.ndarray, starts: jnp.ndarray, width: int):
+    """XLA fallback (vmapped dynamic slices)."""
+    return jax.vmap(
+        lambda xb, sb: jax.vmap(
+            lambda s: jax.lax.dynamic_slice(xb, (s,), (width,))
+        )(sb)
+    )(x, starts)
+
+
+def gather_rows(x: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Best-available row gather: Pallas DMA kernel on TPU, XLA elsewhere.
+
+    Pads the row count to the DMA block size; callers may pass any K.
+    """
+    if jax.default_backend() != "tpu":
+        return gather_rows_reference(x, starts, width)
+    K = starts.shape[1]
+    rpb = 8
+    pad = (-K) % rpb
+    if pad:
+        starts = jnp.concatenate(
+            [starts, jnp.zeros((starts.shape[0], pad), starts.dtype)], axis=1
+        )
+    out = gather_rows_pallas(x, starts, width, rpb)
+    return out[:, :K] if pad else out

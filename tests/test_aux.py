@@ -1,0 +1,141 @@
+"""Auxiliary subsystems: checkpoint/resume exactness, profiling helpers,
+and the tier-1 DFT sanity check (kiss_fft_test.cc equivalent)."""
+
+import numpy as np
+import pytest
+
+import testutil
+from speedy_tpu.checkpoint import load_stream, restore_stream, save_stream, snapshot_stream
+from speedy_tpu.profiling import StageTimer, feature_names
+from speedy_tpu.streaming import SonicStream
+
+
+def make_input(n=44100):
+    i = np.arange(n)
+    return (
+        20000
+        * np.sin(i * 2 * np.pi * 237.0 / 22050)
+        * (0.5 + 0.5 * np.sin(i * 2 * np.pi * 2.0 / 22050))
+    ).astype(np.int16)
+
+
+def drain(st, out):
+    while True:
+        r = st.read_short(256)
+        if len(r) == 0:
+            return
+        out.append(r)
+
+
+def test_checkpoint_resume_exact():
+    """Splitting a stream at an arbitrary point via snapshot/restore must
+    reproduce the unbroken stream bit-exactly."""
+    x = make_input()
+    half = 17003  # deliberately unaligned with any buffer boundary
+
+    ref_st = SonicStream(22050, 1)
+    ref_st.set_speed(2.5)
+    ref_st.enable_nonlinear_speedup(1.0)
+    ref_out = []
+    ref_st.write_short(x)
+    drain(ref_st, ref_out)
+    ref_st.flush()
+    drain(ref_st, ref_out)
+    ref = np.concatenate(ref_out)
+
+    st = SonicStream(22050, 1)
+    st.set_speed(2.5)
+    st.enable_nonlinear_speedup(1.0)
+    out = []
+    st.write_short(x[:half])
+    drain(st, out)
+    st2 = restore_stream(snapshot_stream(st))
+    del st
+    st2.write_short(x[half:])
+    drain(st2, out)
+    st2.flush()
+    drain(st2, out)
+    got = np.concatenate(out)
+    assert len(got) == len(ref)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_checkpoint_file_roundtrip(tmp_path):
+    x = make_input(22050)
+    st = SonicStream(22050, 1)
+    st.set_speed(3.0)
+    st.enable_nonlinear_speedup(1.0)
+    st.write_short(x[:9000])
+    path = str(tmp_path / "state.npz")
+    save_stream(st, path)
+    st2 = load_stream(path)
+    out1, out2 = [], []
+    st.write_short(x[9000:])
+    st.flush()
+    drain(st, out1)
+    st2.write_short(x[9000:])
+    st2.flush()
+    drain(st2, out2)
+    np.testing.assert_array_equal(np.concatenate(out1), np.concatenate(out2))
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("analysis", audio_seconds=1.0):
+        pass
+    with t.stage("analysis", audio_seconds=1.0):
+        pass
+    assert t.counts["analysis"] == 2
+    assert "analysis" in t.report()
+
+
+def test_feature_names_count():
+    assert len(feature_names()) == 15
+
+
+def test_dft_sanity_eight_point():
+    """kiss_fft_test.cc:50-85 equivalent: an 8-point cosine transforms to
+    exact ±N/2 peaks at the signal bin, zero elsewhere."""
+    import jax.numpy as jnp
+
+    from speedy_tpu.ops import dft
+
+    # Use the matrices directly at window=4 (fft=8): cos of 1 cycle/8.
+    cos_m, sin_m = dft.dft_matrices(4, "float64")
+    x = np.cos(2 * np.pi * np.arange(4) / 8.0)  # half a cycle over the window
+    re = x @ cos_m
+    im = x @ sin_m
+    full = np.sqrt(re**2 + im**2)
+    # Compare against numpy's rFFT of the zero-padded window.
+    ref = np.abs(np.fft.rfft(x, 8))
+    np.testing.assert_allclose(full, ref, atol=1e-12)
+
+
+@pytest.mark.skipif(not testutil.have_test_data(), reason="no test data")
+def test_multi_rate_speech_sweep():
+    """sonic_classic_test.cc:529-534: sweep 1.1..6.3 in 0.65 steps on real
+    speech; output length within ±14 ms of input/speed."""
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.pipeline import linear_time_scale
+
+    samples, sr = testutil.load_wave("tapestry.wav")
+    cfg = SpeedyConfig(sr)
+    for speed in np.arange(1.1, 6.31, 0.65):
+        r = linear_time_scale(samples, cfg, float(speed), engine="grid")
+        expected = len(samples) / speed
+        assert abs(len(r.output) - expected) < 0.014 * sr + 3, speed
+
+
+def test_noise_input_length():
+    """sonic_classic_test.cc:558-576: white noise (no pitch) still honors
+    the length contract."""
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.pipeline import linear_time_scale
+
+    rng = np.random.default_rng(0)
+    noise = (rng.normal(size=22050) * 8000).astype(np.int16)
+    cfg = SpeedyConfig(22050)
+    for engine in ("scan", "grid"):
+        r = linear_time_scale(noise, cfg, 3.0, engine=engine)
+        expected = len(noise) / 3.0
+        assert abs(len(r.output) - expected) < 0.02 * expected, engine

@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import config as C
 from ..config import SpeedyConfig
 from ..ops import dft, filters, framing, wsola, wsola_fast
-from ..ops.speed import speed_from_tension
+from ..ops.speed import speed_from_tension, speed_from_tension_parallel
 
 
 class BatchResult(NamedTuple):
@@ -183,11 +183,17 @@ def batched_nonlinear_speedup(
         steps = num_steps
 
     tension = batched_analysis(xs, cfg, T, mesh)
-    speeds, _ = jax.vmap(
-        lambda t: speed_from_tension(
-            t, global_speed, duration_feedback_strength, nonlinear_factor
+    if global_speed > 1.0:
+        # Parallel fixed-point form (contraction only holds for rg > 1).
+        speeds = speed_from_tension_parallel(
+            tension, global_speed, duration_feedback_strength, nonlinear_factor
         )
-    )(tension)
+    else:
+        speeds, _ = jax.vmap(
+            lambda t: speed_from_tension(
+                t, global_speed, duration_feedback_strength, nonlinear_factor
+            )
+        )(tension)
 
     valid_frames = jnp.where(lengths >= W, (lengths - W) // step + 1, 0)
     valid_tension = jnp.maximum(valid_frames - fut, 0)

@@ -277,12 +277,39 @@ class WsolaEngine {
   void set_rate(float r) { rate_ = r; }
 
   void write(const float* interleaved, int n_samples) {
+    if (n_samples > 0) {
+      long end = in_base_ + total_in() + n_samples;
+      if (!speed_segs_.empty() && speed_segs_.back().second == speed_) {
+        speed_segs_.back().first = end;
+      } else {
+        speed_segs_.emplace_back(end, speed_);
+      }
+    }
     size_t old = in_.size();
     in_.resize(old + static_cast<size_t>(n_samples) * channels_);
     std::memcpy(in_.data() + old, interleaved,
                 sizeof(float) * n_samples * channels_);
     process(false);
     drain_rate();
+  }
+
+  // Sum over global input samples [g0, g1) of 1/speed_written (see the
+  // Python engine: quanta lag the writer, so play time must use the speed
+  // each sample was written under — alternating-speed length accuracy).
+  double speed_integral(long g0, long g1) const {
+    double total = 0.0;
+    long prev = g0;
+    for (const auto& seg : speed_segs_) {
+      if (seg.first <= g0) continue;
+      long hi = std::min(seg.first, g1);
+      if (hi > prev) {
+        total += (hi - prev) / static_cast<double>(seg.second);
+        prev = hi;
+      }
+      if (prev >= g1) break;
+    }
+    if (prev < g1) total += (g1 - prev) / static_cast<double>(speed_);
+    return total;
   }
 
   void flush() {
@@ -302,15 +329,19 @@ class WsolaEngine {
   }
 
   int read(float* dst, int max_samples) {
+    // read_ / emitted_ / fifo_base_ are GLOBAL stream indices; compaction
+    // only moves fifo_base_ (rebasing emitted_ without play_time_ made
+    // flush pad spurious silence once the fifo compacted).
     int take = std::min(available(), max_samples);
+    long local = read_ - fifo_base_;
     for (int i = 0; i < take * channels_; i++) {
-      dst[i] = out_[read_ * channels_ + i];
+      dst[i] = out_[local * channels_ + i];
     }
     read_ += take;
-    if (read_ > 65536) {  // keep the fifo bounded
-      out_.erase(out_.begin(), out_.begin() + read_ * channels_);
-      emitted_ -= read_;
-      read_ = 0;
+    if (read_ - fifo_base_ > 65536) {  // keep the fifo bounded
+      out_.erase(out_.begin(),
+                 out_.begin() + (read_ - fifo_base_) * channels_);
+      fifo_base_ = read_;
     }
     return take;
   }
@@ -368,7 +399,8 @@ class WsolaEngine {
 
   void advance(int consumed, float s, bool final_pass, int real_n) {
     int c_real = std::max(0, std::min(real_n - pos_, consumed));
-    play_time_ += c_real / static_cast<double>(s * rate_);
+    long g0 = in_base_ + pos_;
+    play_time_ += speed_integral(g0, g0 + c_real) / rate_;
     pos_ += consumed;
   }
 
@@ -422,6 +454,10 @@ class WsolaEngine {
     if (drop > 0) {
       in_.erase(in_.begin(), in_.begin() + static_cast<size_t>(drop) * channels_);
       pos_ -= drop;
+      in_base_ += drop;
+      while (speed_segs_.size() > 1 && speed_segs_.front().first <= in_base_) {
+        speed_segs_.pop_front();
+      }
     }
   }
 
@@ -470,6 +506,8 @@ class WsolaEngine {
   }
 
   std::vector<float> in_;
+  long in_base_ = 0;  // global index of in_[0]
+  std::deque<std::pair<long, float>> speed_segs_;  // (global_end, speed)
   std::vector<float> raw_;   // pre-rate-conversion emissions
   std::vector<float> out_;   // post-rate-conversion output fifo
   int channels_;
@@ -480,6 +518,7 @@ class WsolaEngine {
   int rem_copy_ = 0;
   long emitted_ = 0;
   long read_ = 0;
+  long fifo_base_ = 0;
   double play_time_ = 0.0;
   bool conv_primed_ = false;
   double conv_phase_ = 0.0;

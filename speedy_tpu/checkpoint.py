@@ -55,6 +55,9 @@ def snapshot_stream(st: SonicStream) -> Dict[str, Any]:
             "rate": en.rate,
             "in": en._in.copy(),
             "in_pos": en._in_pos,
+            "in_base": en._in_base,
+            "speed_seg_ends": np.asarray([e for e, _ in en._speed_segs], np.int64),
+            "speed_seg_vals": np.asarray([v for _, v in en._speed_segs], np.float64),
             "consumed_real": en._consumed_real,
             "play_time": en._play_time,
             "emitted": en._emitted,
@@ -63,6 +66,7 @@ def snapshot_stream(st: SonicStream) -> Dict[str, Any]:
             if en._out_chunks
             else np.zeros((0, st.num_channels), np.float32),
             "out_read": en._out_read,
+            "fifo_base": en._fifo_base,
             "rate_conv": {
                 "rate": en._rate_conv.rate,
                 "phase": en._rate_conv.phase,
@@ -105,12 +109,18 @@ def restore_stream(state: Dict[str, Any]) -> SonicStream:
     en.rate = es["rate"]
     en._in = es["in"].copy()
     en._in_pos = es["in_pos"]
+    en._in_base = int(es["in_base"])
+    en._speed_segs = [
+        (int(e), float(v))
+        for e, v in zip(es["speed_seg_ends"], es["speed_seg_vals"])
+    ]
     en._consumed_real = es["consumed_real"]
     en._play_time = es["play_time"]
     en._emitted = es["emitted"]
     en._rem_copy = es["rem_copy"]
     en._out_chunks = [es["out"].copy()] if len(es["out"]) else []
     en._out_read = es["out_read"]
+    en._fifo_base = int(es.get("fifo_base", 0))
     rc = es["rate_conv"]
     en._rate_conv.rate = rc["rate"]
     en._rate_conv.phase = rc["phase"]

@@ -266,19 +266,51 @@ class WsolaStream:
         self._rate_conv = _RateConverter(num_channels)
         self._in = np.zeros((0, num_channels), np.float32)
         self._in_pos = 0
+        self._in_base = 0  # global index of _in[0]
+        # Per-write speed segments [(global_end, speed)] so play-time
+        # accrues with the speed each sample was WRITTEN under, not the
+        # speed at processing time — the engine's pitch-period quanta lag
+        # the writer by up to ~1000 samples, and charging a quantum at one
+        # speed smears alternating-speed streams (the reference fails its
+        # own varying-speed length gates for exactly this reason,
+        # sonic_test.cc:1026-1039).
+        self._speed_segs = []
         self._consumed_real = 0.0
         self._play_time = 0.0  # expected output samples
         self._emitted = 0
         self._rem_copy = 0
         self._out_chunks = []
-        self._out_read = 0  # samples already handed to the reader
-        self._rate_phase = 0.0
+        self._out_read = 0  # global count of samples handed to the reader
+        self._fifo_base = 0  # global index of _out_chunks[0][0]
 
     # -- input plumbing --
     def write(self, samples: np.ndarray) -> None:
         s = np.asarray(samples, np.float32).reshape(-1, self.num_channels)
+        if len(s):
+            end = self._in_base + len(self._in) + len(s)
+            if self._speed_segs and self._speed_segs[-1][1] == self.speed:
+                self._speed_segs[-1] = (end, self.speed)
+            else:
+                self._speed_segs.append((end, self.speed))
         self._in = np.concatenate([self._in, s]) if self._in.size else s
         self._process(final=False)
+
+    def _speed_integral(self, g0: int, g1: int) -> float:
+        """sum over global samples [g0, g1) of 1/speed_written."""
+        total = 0.0
+        prev = g0
+        for end, sp in self._speed_segs:
+            if end <= g0:
+                continue
+            hi = min(end, g1)
+            if hi > prev:
+                total += (hi - prev) / sp
+                prev = hi
+            if prev >= g1:
+                break
+        if prev < g1:  # beyond recorded segments: current speed
+            total += (g1 - prev) / self.speed
+        return total
 
     def set_speed(self, speed: float) -> None:
         self.speed = float(speed)
@@ -358,11 +390,15 @@ class WsolaStream:
         if keep_from > 0:
             self._in = self._in[keep_from:]
             self._in_pos -= keep_from
+            self._in_base += keep_from
+            while len(self._speed_segs) > 1 and self._speed_segs[0][0] <= self._in_base:
+                self._speed_segs.pop(0)
 
     def _advance(self, consumed: int, emitted: int, real_n: int, s: float) -> None:
         c_real = max(0, min(real_n - self._in_pos, consumed))
         self._consumed_real += c_real
-        self._play_time += c_real / (s * self.rate)
+        g0 = self._in_base + self._in_pos
+        self._play_time += self._speed_integral(g0, g0 + c_real) / self.rate
         self._in_pos += consumed
 
     # -- output plumbing --
@@ -372,19 +408,24 @@ class WsolaStream:
 
     def read(self, max_samples: int) -> np.ndarray:
         """Pop up to max_samples (multi-channel) samples, honoring the
-        expected-play-time limit like libsonic's output accounting."""
+        expected-play-time limit like libsonic's output accounting.
+
+        All counters (_emitted, _out_read, _fifo_base) are GLOBAL stream
+        indices; compaction only moves _fifo_base. (Rebasing _emitted
+        without rebasing _play_time made flush pad spurious silence once
+        the fifo had compacted — caught by the varying-speed tests.)"""
         avail = self._available()
         take = min(avail, max_samples)
         if take == 0:
             return np.zeros((0, self.num_channels), np.float32)
         out = np.concatenate(self._out_chunks) if len(self._out_chunks) > 1 else self._out_chunks[0]
         self._out_chunks = [out]
-        res = out[self._out_read : self._out_read + take]
+        local = self._out_read - self._fifo_base
+        res = out[local : local + take]
         self._out_read += take
-        if self._out_read > 2 * self.sample_rate:
-            self._out_chunks = [out[self._out_read :]]
-            self._emitted -= self._out_read
-            self._out_read = 0
+        if self._out_read - self._fifo_base > 2 * self.sample_rate:
+            self._out_chunks = [out[self._out_read - self._fifo_base :]]
+            self._fifo_base = self._out_read
         return res
 
     def flush(self) -> None:

@@ -33,7 +33,7 @@ def main():
     cfg = SpeedyConfig(sample_rate)
     L = int(sample_rate * seconds)
     n_dev = jax.device_count()
-    B = int(os.environ.get("SPEEDY_BENCH_BATCH", "64")) * max(n_dev, 1)
+    B = int(os.environ.get("SPEEDY_BENCH_BATCH", "128")) * max(n_dev, 1)
     iters = int(os.environ.get("SPEEDY_BENCH_ITERS", "3"))
 
     # Speech-like test signal: pitch-modulated harmonics with syllabic

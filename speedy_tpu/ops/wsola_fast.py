@@ -8,18 +8,18 @@ restructures time-scale modification so almost everything is parallel:
      o(x) = integral dx/s(x), piecewise linear over analysis frames;
      prefix sums + searchsorted invert it, yielding each output chunk's
      nominal source position c_k on a FIXED synthesis grid k*Hs.
-  2. PITCH (parallel): local pitch at each c_k via squared-difference
-     (SSD) argmin over lags [fs/400, fs/65], computed as
+  2. PITCH (parallel, gather-free): local pitch measured on a REGULAR
+     input grid whose overlapping windows are built from strided reshapes
+     (zero gather), then looked up per chunk with a scalar gather. The
+     squared-difference (SSD) argmin over lags [fs/400, fs/65] expands as
      E0 + E(d) - 2*CC(d): sliding energies from one cumsum, correlations
-     from one batch-grouped conv (MXU) — and refined to SUB-SAMPLE
-     precision by parabolic interpolation of the SSD minimum (splice
-     phase error scales with period error x periods wrapped; the Teager
-     gates need < ~0.05-sample accuracy).
-  3. PHASE SNAP (one tiny scan): fractional source positions
-     a_k = c_k + wrap(a_{k-1} + Hs - c_k, P_k) keep adjacent chunks
-     phase-aligned with bounded, non-compounding drift <= P_k/2. One
-     lax.scan of ~out_len/Hs steps over [B]-vector scalars serves the
-     whole batch.
+     from zero-padded FFTs — refined to SUB-SAMPLE precision by parabolic
+     interpolation of the SSD minimum (splice phase error scales with
+     period error x periods wrapped; the Teager gates need ~0.05-sample
+     accuracy).
+  3. PHASE SNAP (closed form): the alignment recurrence telescopes to
+     a_k = c_k + wrap(c_0 + k*Hs - c_k, P_k) — fully parallel, bounded
+     non-compounding drift <= P_k/2.
   4. SYNTHESIS (parallel): Hann-windowed chunks of width 2*Hs gathered at
      fractional a_k (linear interpolation), overlap-added on the fixed
      grid — 50% overlap OLA is two half-slot adds, no scatter. Slot 0 is
@@ -131,21 +131,28 @@ def _wsola_grid_batch(
     ob_f = jnp.take_along_axis(obnd, f, axis=1)
     c = f.astype(dtype) * frame_step + (p[None, :] - ob_f) * sp_f  # [B, K]
     c = jnp.clip(c, 0.0, jnp.maximum(lens_f - 1.0, 0.0)[:, None])
-    c_i = c.astype(jnp.int32)
 
-    # ---- 2. parallel pitch at each c_k ----
     seg_w = taps + maxp
-    seg = _gather_rows(x_pad, c_i + pad_front, seg_w)  # [B, K, seg_w]
+    G = Hs  # pitch grid stride
+    m_strides = -(-seg_w // G)  # window spans m_strides grid cells
+    n_cells = (x_pad.shape[1] - pad_front) // G
+    n_grid = n_cells - m_strides + 1
+    y = x_pad[:, pad_front : pad_front + n_cells * G].reshape(B, n_cells, G)
+    # windows[b, g] = x[g*G : g*G + m*G] via m shifted views (no gather)
+    seg = jnp.concatenate(
+        [y[:, j : j + n_grid] for j in range(m_strides)], axis=-1
+    )[:, :, :seg_w]  # [B, n_grid, seg_w]
+    Kp = n_grid
     a0 = seg[:, :, :taps]
     cs = jnp.cumsum(seg * seg, axis=2)
-    cs = jnp.concatenate([jnp.zeros((B, K, 1), dtype), cs], axis=2)
+    cs = jnp.concatenate([jnp.zeros((B, Kp, 1), dtype), cs], axis=2)
     n_lags = maxp - minp + 1
     e_lag = (
         jax.lax.slice_in_dim(cs, minp + taps, minp + taps + n_lags, axis=2)
         - jax.lax.slice_in_dim(cs, minp, minp + n_lags, axis=2)
     )
     e0 = (cs[:, :, taps] - cs[:, :, 0])[:, :, None]
-    # Correlations CC[b,k,d] = sum_i a0[i]*seg[i+d] for all lags at once via
+    # Correlations CC[b,g,d] = sum_i a0[i]*seg[i+d] for all lags at once via
     # zero-padded FFTs (nfft = next pow2 >= seg_w + taps, so no circular
     # wraparound on lags 0..maxp). A batch-grouped conv would be the MXU
     # route but its lowering materializes an N x N cross-product.
@@ -155,14 +162,17 @@ def _wsola_grid_batch(
     fa = jnp.fft.rfft(a0, n=nfft, axis=2)
     fs = jnp.fft.rfft(seg, n=nfft, axis=2)
     cc = jnp.fft.irfft(jnp.conj(fa) * fs, n=nfft, axis=2)[:, :, : maxp + 1]
-    ssd = e0 + e_lag - 2.0 * cc[:, :, minp : maxp + 1]  # [B, K, n_lags]
+    ssd = e0 + e_lag - 2.0 * cc[:, :, minp : maxp + 1]  # [B, n_grid, n_lags]
     jmin = jnp.argmin(ssd, axis=-1)
     jc = jnp.clip(jmin, 1, n_lags - 2)
     take = lambda off: jnp.take_along_axis(ssd, (jc + off)[..., None], axis=2)[..., 0]
     l, m, r = take(-1), take(0), take(1)
     denom = l - 2.0 * m + r
     frac = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
-    period = (minp + jc).astype(dtype) + jnp.clip(frac, -0.5, 0.5)  # [B, K]
+    period_grid = (minp + jc).astype(dtype) + jnp.clip(frac, -0.5, 0.5)  # [B, n_grid]
+    # Look up the period at each chunk's nominal source position.
+    g_idx = jnp.clip(jnp.round(c / G).astype(jnp.int32), 0, n_grid - 1)
+    period = jnp.take_along_axis(period_grid, g_idx, axis=1)  # [B, K]
 
     # ---- 3. phase snap, closed form (no scan) ----
     # The recurrence a_k = c_k + wrap(a_{k-1} + Hs - c_k, P_k) telescopes:

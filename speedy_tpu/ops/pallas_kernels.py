@@ -23,6 +23,9 @@ _ALIGN = 1024  # 1D f32 HBM tiling on v5e
 def _gather_rows_kernel(
     width, rows_per_block, length, starts_ref, x_ref, out_ref, scratch, sems
 ):
+    # starts_ref is the scalar-prefetched [Bc, K] starts array in SMEM; the
+    # wrapper chunks the batch so Bc*K*4 bytes stays under the 1 MB SMEM
+    # budget.
     # x_ref is the flattened [B*L] waveform. HBM slices must be tile
     # (1024)-aligned, so each row DMAs an aligned superset block into a
     # VMEM scratch viewed as [sublanes, 128]; the dynamic in-tile offset
@@ -30,11 +33,11 @@ def _gather_rows_kernel(
     # lane roll with sublane-carry select — all 2D vector ops (Mosaic has
     # no 1D ops or unaligned vector loads).
     b = pl.program_id(0)
-    kb = pl.program_id(1)
     blk = (width + 2 * _ALIGN - 1) // _ALIGN * _ALIGN
     brows = blk // 128
     out_subs = out_ref.shape[2]
     offs = []
+    kb = pl.program_id(1)
     for i in range(rows_per_block):
         s = b * length + starts_ref[b, kb * rows_per_block + i]
         row = pl.multiple_of((s // _ALIGN) * (_ALIGN // 128), 8)
@@ -118,12 +121,25 @@ def gather_rows(x: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray:
     """
     if jax.default_backend() != "tpu":
         return gather_rows_reference(x, starts, width)
-    K = starts.shape[1]
+    B, K = starts.shape
     rpb = 8
     pad = (-K) % rpb
     if pad:
         starts = jnp.concatenate(
-            [starts, jnp.zeros((starts.shape[0], pad), starts.dtype)], axis=1
+            [starts, jnp.zeros((B, pad), starts.dtype)], axis=1
         )
-    out = gather_rows_pallas(x, starts, width, rpb)
+    # The starts array is scalar-prefetched into SMEM (1 MB budget): chunk
+    # the batch so each call stays under ~200k int32 entries.
+    b_chunk = max(1, 200_000 // starts.shape[1])
+    if B <= b_chunk:
+        out = gather_rows_pallas(x, starts, width, rpb)
+    else:
+        outs = []
+        for b0 in range(0, B, b_chunk):
+            outs.append(
+                gather_rows_pallas(
+                    x[b0 : b0 + b_chunk], starts[b0 : b0 + b_chunk], width, rpb
+                )
+            )
+        out = jnp.concatenate(outs, axis=0)
     return out[:, :K] if pad else out

@@ -142,34 +142,55 @@ def _wsola_grid_batch(
     seg = jnp.concatenate(
         [y[:, j : j + n_grid] for j in range(m_strides)], axis=-1
     )[:, :, :seg_w]  # [B, n_grid, seg_w]
-    Kp = n_grid
-    a0 = seg[:, :, :taps]
-    cs = jnp.cumsum(seg * seg, axis=2)
-    cs = jnp.concatenate([jnp.zeros((B, Kp, 1), dtype), cs], axis=2)
     n_lags = maxp - minp + 1
-    e_lag = (
-        jax.lax.slice_in_dim(cs, minp + taps, minp + taps + n_lags, axis=2)
-        - jax.lax.slice_in_dim(cs, minp, minp + n_lags, axis=2)
-    )
-    e0 = (cs[:, :, taps] - cs[:, :, 0])[:, :, None]
-    # Correlations CC[b,g,d] = sum_i a0[i]*seg[i+d] for all lags at once via
-    # zero-padded FFTs (nfft = next pow2 >= seg_w + taps, so no circular
-    # wraparound on lags 0..maxp). A batch-grouped conv would be the MXU
-    # route but its lowering materializes an N x N cross-product.
     nfft = 1
     while nfft < seg_w + taps:
         nfft *= 2
-    fa = jnp.fft.rfft(a0, n=nfft, axis=2)
-    fs = jnp.fft.rfft(seg, n=nfft, axis=2)
-    cc = jnp.fft.irfft(jnp.conj(fa) * fs, n=nfft, axis=2)[:, :, : maxp + 1]
-    ssd = e0 + e_lag - 2.0 * cc[:, :, minp : maxp + 1]  # [B, n_grid, n_lags]
-    jmin = jnp.argmin(ssd, axis=-1)
-    jc = jnp.clip(jmin, 1, n_lags - 2)
-    take = lambda off: jnp.take_along_axis(ssd, (jc + off)[..., None], axis=2)[..., 0]
-    l, m, r = take(-1), take(0), take(1)
-    denom = l - 2.0 * m + r
-    frac = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
-    period_grid = (minp + jc).astype(dtype) + jnp.clip(frac, -0.5, 0.5)  # [B, n_grid]
+
+    def pitch_of(seg_c):
+        """seg_c [B, Gc, seg_w] -> sub-sample periods [B, Gc]."""
+        a0 = seg_c[:, :, :taps]
+        cs = jnp.cumsum(seg_c * seg_c, axis=2)
+        cs = jnp.concatenate(
+            [jnp.zeros(cs.shape[:2] + (1,), dtype), cs], axis=2
+        )
+        e_lag = (
+            jax.lax.slice_in_dim(cs, minp + taps, minp + taps + n_lags, axis=2)
+            - jax.lax.slice_in_dim(cs, minp, minp + n_lags, axis=2)
+        )
+        e0 = (cs[:, :, taps] - cs[:, :, 0])[:, :, None]
+        # Correlations CC[b,g,d] = sum_i a0[i]*seg[i+d] for all lags at
+        # once via zero-padded FFTs (nfft >= seg_w + taps: no circular
+        # wraparound on lags 0..maxp). A batch-grouped conv would be the
+        # MXU route but its lowering materializes an N x N cross-product.
+        fa = jnp.fft.rfft(a0, n=nfft, axis=2)
+        fs = jnp.fft.rfft(seg_c, n=nfft, axis=2)
+        cc = jnp.fft.irfft(jnp.conj(fa) * fs, n=nfft, axis=2)[:, :, : maxp + 1]
+        ssd = e0 + e_lag - 2.0 * cc[:, :, minp : maxp + 1]
+        jmin = jnp.argmin(ssd, axis=-1)
+        jc = jnp.clip(jmin, 1, n_lags - 2)
+        take = lambda off: jnp.take_along_axis(
+            ssd, (jc + off)[..., None], axis=2
+        )[..., 0]
+        l, m, r = take(-1), take(0), take(1)
+        denom = l - 2.0 * m + r
+        frac = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
+        return (minp + jc).astype(dtype) + jnp.clip(frac, -0.5, 0.5)
+
+    # Chunk the grid axis so the FFT work buffers stay bounded (XLA
+    # allocates ~7 temporaries of [B, G, nfft]; unchunked they OOM HBM at
+    # large batch).
+    GSEG = 128
+    if n_grid > GSEG:
+        n_gpad = -(-n_grid // GSEG) * GSEG
+        seg_p = jnp.concatenate(
+            [seg, jnp.zeros((B, n_gpad - n_grid, seg_w), dtype)], axis=1
+        )
+        seg_p = seg_p.reshape(B, n_gpad // GSEG, GSEG, seg_w).transpose(1, 0, 2, 3)
+        period_grid = jax.lax.map(pitch_of, seg_p)  # [n_chunks, B, GSEG]
+        period_grid = period_grid.transpose(1, 0, 2).reshape(B, n_gpad)[:, :n_grid]
+    else:
+        period_grid = pitch_of(seg)
     # Look up the period at each chunk's nominal source position.
     g_idx = jnp.clip(jnp.round(c / G).astype(jnp.int32), 0, n_grid - 1)
     period = jnp.take_along_axis(period_grid, g_idx, axis=1)  # [B, K]

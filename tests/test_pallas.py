@@ -31,3 +31,21 @@ def test_gather_rows_pallas_on_tpu():
     got = gather_rows_pallas(x, starts, 492)
     ref = gather_rows_reference(x, starts, 492)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_gather_rows_coalesced_on_tpu():
+    """Experimental coalesced kernel: both the span path (sorted starts)
+    and the per-row fallback (random starts) must be bit-exact."""
+    from speedy_tpu.ops.pallas_coalesced import gather_rows_coalesced
+
+    rng = np.random.default_rng(2)
+    B, K, W, L = 8, 256, 321, 60000
+    x = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    base = np.cumsum(rng.integers(150, 400, size=(B, K)), axis=1)
+    base = (base % (L - W - 2048)).astype(np.int32)
+    base.sort(axis=1)
+    for starts in (base, rng.integers(0, L - W - 2048, size=(B, K)).astype(np.int32)):
+        got = gather_rows_coalesced(x, jnp.asarray(starts), W)
+        ref = gather_rows_reference(x, jnp.asarray(starts), W)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -33,7 +33,7 @@ def _gather_rows_kernel(
     # lane roll with sublane-carry select — all 2D vector ops (Mosaic has
     # no 1D ops or unaligned vector loads).
     b = pl.program_id(0)
-    blk = (width + 2 * _ALIGN - 1) // _ALIGN * _ALIGN
+    blk = ((width + _ALIGN - 1) // _ALIGN + 1) * _ALIGN  # offset<ALIGN + width
     brows = blk // 128
     out_subs = out_ref.shape[2]
     offs = []
@@ -83,7 +83,7 @@ def gather_rows_pallas(
             pltpu.VMEM(
                 (
                     rows_per_block,
-                    ((width + 2 * _ALIGN - 1) // _ALIGN * _ALIGN) // 128,
+                    (((width + _ALIGN - 1) // _ALIGN + 1) * _ALIGN) // 128,
                     128,
                 ),
                 x.dtype,
@@ -93,7 +93,7 @@ def gather_rows_pallas(
     )
     kernel = functools.partial(_gather_rows_kernel, width, rows_per_block, L)
     flat = x.reshape(-1)
-    blk = (width + 2 * _ALIGN - 1) // _ALIGN * _ALIGN
+    blk = ((width + _ALIGN - 1) // _ALIGN + 1) * _ALIGN
     pad = (-flat.shape[0]) % _ALIGN + blk  # headroom for the last block
     flat = jnp.concatenate([flat, jnp.zeros(pad, x.dtype)])
     x2 = flat.reshape(-1, 128)

@@ -14,6 +14,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import config as C
 
@@ -103,16 +104,21 @@ def speed_from_tension_parallel(
     slow = jnp.maximum(min_speed, jnp.minimum(1.0, rg - (1.0 - rg) * tension))
     base = jnp.where(rg > 1.0, fast, slow)
 
+    # Strictly-lower-triangular matmul computes the exclusive prefix sum on
+    # the MXU (jnp.cumsum lowers poorly on TPU: ~27 ms vs ~2 ms at
+    # [128, 1000]).
+    T = tension.shape[-1]
+    tri = jnp.asarray(
+        np.tril(np.ones((T, T), np.float32), k=-1).T, dtype
+    )  # tri[j, k] = 1 for j < k
+
     def refine(_, excess_prev):
         req = jnp.where(
             fb > 0.0, base + jnp.maximum(min_speed, fb * excess_prev), base
         )
         # excess entering frame k = sum_{j<k} (fd/req_j - fd/rg)
         delta = fd / req - fd / rg
-        cum = jnp.cumsum(delta, axis=-1)
-        return jnp.concatenate(
-            [jnp.zeros(cum.shape[:-1] + (1,), dtype), cum[..., :-1]], axis=-1
-        )
+        return jnp.dot(delta, tri, precision=jax.lax.Precision.HIGHEST)
 
     excess = jax.lax.fori_loop(
         0, num_iters, refine, jnp.zeros_like(tension)

@@ -64,8 +64,19 @@ def batched_analysis(
 
     xs = c(xs, P("dp", None))
     starts = jnp.asarray(framing.frame_starts(cfg, T, integer_step=True))
-    idx = starts[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-    frames = jnp.take(xs, idx, axis=1, mode="clip")  # [B, T, W]
+    step = cfg.frame_step_int
+    # Integer-step frames are a REGULAR overlapping window: build them from
+    # strided reshapes (an element gather here costs ~25 ms at B=128; the
+    # reshape form is bandwidth-speed).
+    m = -(-W // step)  # window spans m cells
+    n_cells = T + m  # enough cells to cover frame T-1
+    xs_pad = jnp.concatenate(
+        [xs, jnp.zeros((B, n_cells * step - xs.shape[1]), dtype)], axis=1
+    ) if n_cells * step > xs.shape[1] else xs[:, : n_cells * step]
+    y = xs_pad.reshape(B, n_cells, step)
+    frames = jnp.concatenate(
+        [y[:, j : j + T] for j in range(m)], axis=-1
+    )[:, :, :W]  # [B, T, W]
     prev_last = jnp.take(xs, starts[:-1] + (W - 1), axis=1, mode="clip")
     state = jnp.concatenate([jnp.zeros((B, 1), dtype), prev_last], axis=1)
     prev = jnp.concatenate([state[:, :, None], frames[:, :, :-1]], axis=2)

@@ -408,6 +408,12 @@ class WsolaEngine {
     const int chunk = max_period_;
     const int need = 2 * max_period_ + chunk;
     const int real_n = total_in();
+    if (final_pass && pos_ < real_n) {
+      // Zero-pad so the final pass's pitch search and blends never read
+      // past the buffer (mono()/pitch() are unchecked; the Python engine
+      // pads identically).
+      in_.resize(in_.size() + static_cast<size_t>(need) * channels_, 0.0f);
+    }
     float s = speed_;
     while (final_pass ? (pos_ < real_n) : (pos_ + need <= real_n)) {
       if (rem_copy_ > 0) {
@@ -450,6 +456,16 @@ class WsolaEngine {
       }
     }
     // Drop consumed input (keep alignment with channel stride).
+    if (final_pass) {
+      // Fully drained (pos_ >= real_n); discard the zero padding too.
+      in_.clear();
+      in_base_ += real_n;
+      pos_ = 0;
+      while (speed_segs_.size() > 1 && speed_segs_.front().first <= in_base_) {
+        speed_segs_.pop_front();
+      }
+      return;
+    }
     int drop = std::min(pos_, real_n);
     if (drop > 0) {
       in_.erase(in_.begin(), in_.begin() + static_cast<size_t>(drop) * channels_);
@@ -680,10 +696,8 @@ static void sonicPump(sonicStream st) {
 }
 
 static int sonicWriteInternal(sonicStream st, const float* vals, int n) {
-  if (st->nonlinear == 0.0f) {  // short-circuit (soniclib.c:397-399)
-    st->engine->write(vals, n);
-    return 1;
-  }
+  // Callers pre-handle the nonlinear==0 short-circuit (with the engine's
+  // +-1 sample scale); this path is the speedy-analysis route only.
   st->buffers_allocated = true;
   size_t old = st->pending.size();
   st->pending.resize(old + static_cast<size_t>(n) * st->channels);

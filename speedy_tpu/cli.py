@@ -46,7 +46,13 @@ def compress_sound(
     num_channels = 1 if samples.ndim == 1 else samples.shape[1]
     dump_files = dump_files or {}
 
-    if engine == "stream" or num_channels > 1 or dump_files or rate != 1.0:
+    needs_stream = num_channels > 1 or bool(dump_files) or rate != 1.0
+    if engine != "stream" and needs_stream:
+        print(
+            f"note: --engine {engine} does not support dump files, --rate, or "
+            "multichannel input; using the streaming engine."
+        )
+    if engine == "stream" or needs_stream:
         out = _compress_streaming(
             samples, sr, num_channels, speed, nonlinear, feedback, rate, dump_files
         )

@@ -78,9 +78,6 @@ def directions(cost: jnp.ndarray, acc: jnp.ndarray) -> jnp.ndarray:
     up = jnp.concatenate([jnp.full((1, n), inf, dtype), acc[:-1, :]], axis=0)
     left = jnp.concatenate([jnp.full((m, 1), inf, dtype), acc[:, :-1]], axis=1)
     upleft = jnp.concatenate(
-        [jnp.full((1, n), inf, dtype), left[:-1, :]], axis=0
-    )
-    upleft = jnp.concatenate(
         [jnp.full((m, 1), inf, dtype),
          jnp.concatenate([jnp.full((1, n - 1), inf, dtype), acc[:-1, :-1]], axis=0)],
         axis=1,

@@ -213,6 +213,12 @@ def batched_nonlinear_speedup(
     speeds = jnp.where(
         (valid_tension > 0)[:, None], speeds, jnp.asarray(global_speed, xs.dtype)
     )
+    # Honor the planner's contract: output capacity and trip count are
+    # sized by min_speed_bound, so instantaneous speeds are floored there
+    # (a no-op for global speedups, where the law already guarantees >= 1;
+    # for slowdowns the reference-exact unclamped law is available via the
+    # streaming/pipeline paths, or by passing a smaller bound).
+    speeds = jnp.maximum(speeds, jnp.asarray(min_speed_bound, xs.dtype))
 
     if engine == "grid":
         hop, gcap, K = wsola_fast.plan_grid(cfg, L, min_speed_bound)

@@ -523,7 +523,6 @@ class SonicStream:
         partial = window - full * step
         while self._write_total >= (self._speedy_frame + full) * step + partial + 1:
             k = self._speedy_frame
-            start = k * step - (self._read_frame * step - self._read_offset())
             frame = self._pending_slice(k * step, window)
             # Integer-average mixdown with C truncation (soniclib.c:271-274).
             mono = np.trunc(frame.sum(axis=1) / self.num_channels)
@@ -552,9 +551,6 @@ class SonicStream:
                 self.engine.write(self._pending_slice(self._read_frame * step, step))
                 self._read_frame += 1
         self._trim_pending()
-
-    def _read_offset(self) -> int:
-        return 0
 
     def _pending_base(self) -> int:
         # _pending holds samples from global index _pending_start onward.

@@ -213,3 +213,20 @@ def test_native_wave_io_roundtrip(lib, tmp_path):
     lib.closeWaveFile(rf)
     assert n == len(data)
     np.testing.assert_array_equal(buf[:n], data)
+
+
+def test_native_flush_bounds(lib):
+    """Regression: flush used to run the pitch search past the end of the
+    input buffer (UB; caught with _GLIBCXX_ASSERTIONS). Exercise the exact
+    sequence — one big write, then flush — at several lengths."""
+    sr = 16000
+    for n in (4000, 16000, 16384):
+        x = (10000 * np.sin(np.arange(n) * 0.07)).astype(np.int16)
+        st = native.NativeSonicStream(sr, 1)
+        st.set_speed(3.0)
+        st.enable_nonlinear_speedup(1.0)
+        st.write_short(x)
+        st.flush()
+        out = st.read_short(2 * n)
+        expected = n / 3.0
+        assert abs(len(out) - expected) < 0.1 * expected + 200

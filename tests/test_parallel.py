@@ -132,3 +132,19 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+
+
+def test_batched_slowdown_capacity_contract():
+    """Regression: at sub-unity global speeds the speed law can clamp to
+    kMinimumSpeed, far below the planner's default bound; speeds are now
+    floored at the planned bound so output is never silently truncated."""
+    xs = make_batch(B=2, L=8000, seed=7) * 5.0  # hot signal -> high tension
+    lengths = jnp.asarray([8000, 8000], jnp.int32)
+    out = batched_nonlinear_speedup(jnp.asarray(xs), lengths, CFG16, 0.5)
+    valid = np.asarray(out.valid_length)
+    # Output fits the planned capacity and is a genuine slowdown.
+    assert np.all(valid <= out.output.shape[1])
+    assert np.all(valid > 8000)
+    y = np.asarray(out.output)
+    for b in range(2):
+        assert np.any(y[b, valid[b] - 400 : valid[b]] != 0)  # not truncated

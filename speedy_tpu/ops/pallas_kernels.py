@@ -1,10 +1,15 @@
 """Pallas TPU kernels for the hot ops.
 
 gather_rows: the grid-parallel WSOLA engine's dominant cost is reading
-overlapping windows at data-dependent positions (pitch segments, synthesis
-chunks). XLA lowers those to generic gathers running at ~0.6 GB/s on v5e;
-this kernel instead issues one async DMA per row with the row starts
-scalar-prefetched into SMEM, overlapping many copies in flight.
+overlapping windows at data-dependent positions (synthesis chunks). XLA
+lowers those to generic gathers running at ~0.6 GB/s on v5e; this kernel
+instead issues one async DMA per row with the row starts scalar-prefetched
+into SMEM, overlapping many copies in flight (~3x XLA).
+
+Measured limit: ~0.85 us per row regardless of design (per-row, span-
+coalesced, double-buffered, constant-address and no-extraction ablations
+all land at 27-30 ms for 32k rows) — the TPU scalar core's DMA-enqueue
+issue rate is the floor for independent unaligned reads.
 """
 
 from __future__ import annotations
@@ -143,3 +148,97 @@ def gather_rows(x: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray:
             )
         out = jnp.concatenate(outs, axis=0)
     return out[:, :K] if pad else out
+
+
+def _gather_pipelined_kernel(
+    width, length, n_rows, starts_ref, x_ref, out_ref, scratch, sems
+):
+    """EXPERIMENT: one program per batch row; internal loop over output
+    rows with double-buffered DMAs. Measured equal to the per-row kernel
+    (27.3 vs 27.1 ms at 32x1008 rows): with constant-address and no-roll
+    ablations also landing at ~28-30 ms, the floor is the TPU scalar
+    core's per-DMA-enqueue issue cost (~0.85 us) — not DMA latency,
+    address arithmetic, extraction rolls, or grid overhead. Kept for the
+    record; per-row gather_rows_pallas remains the production path."""
+    b = pl.program_id(0)
+    blk = ((width + _ALIGN - 1) // _ALIGN + 1) * _ALIGN
+    brows = blk // 128
+    out_subs = out_ref.shape[2]
+    nrows = (((width + 127) // 128 + 2 + 8 + 7) // 8) * 8
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nrows, 128), 1)
+
+    def aligned_row(j):
+        s = b * length + starts_ref[b, j]
+        return pl.multiple_of((s // _ALIGN) * (_ALIGN // 128), 8), s
+
+    def start_dma(j, slot):
+        row, _ = aligned_row(j)
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(row, brows), :],
+            scratch.at[slot, pl.ds(0, brows), :],
+            sems.at[slot],
+        ).start()
+
+    start_dma(0, 0)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_rows)
+        def _():
+            start_dma(j + 1, jax.lax.rem(j + 1, 2))
+
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(0, brows), :],
+            scratch.at[slot, pl.ds(0, brows), :],
+            sems.at[slot],
+        ).wait()
+        row, s = aligned_row(j)
+        off = s - row * 128
+        sub = off // 128
+        r = off - sub * 128
+        sub8 = pl.multiple_of((sub // 8) * 8, 8)
+        dsub = sub - sub8
+        a = scratch[slot, pl.ds(sub8, nrows), :]
+        b1 = pltpu.roll(a, nrows - dsub, 0)
+        lanes_cur = pltpu.roll(b1, 128 - r, 1)
+        lanes_next = pltpu.roll(pltpu.roll(b1, nrows - 1, 0), 128 - r, 1)
+        c = jnp.where(lane < 128 - r, lanes_cur, lanes_next)
+        out_ref[0, j, :, :] = c[:out_subs]
+        return 0
+
+    jax.lax.fori_loop(0, n_rows, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def gather_rows_pipelined(x: jnp.ndarray, starts: jnp.ndarray, width: int):
+    """Double-buffered variant of gather_rows_pallas (one grid program per
+    batch row; DMA for row j+1 overlaps row j's extraction)."""
+    B, L = x.shape
+    K = starts.shape[1]
+    wsubs = (width + 127) // 128
+    blk = ((width + _ALIGN - 1) // _ALIGN + 1) * _ALIGN
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, K, wsubs, 128),
+            lambda b, starts: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, blk // 128 + 16, 128), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_gather_pipelined_kernel, width, L, K)
+    flat = x.reshape(-1)
+    pad = (-flat.shape[0]) % _ALIGN + blk
+    flat = jnp.concatenate([flat, jnp.zeros(pad, x.dtype)])
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, K, wsubs, 128), x.dtype),
+        grid_spec=grid_spec,
+    )(starts, flat.reshape(-1, 128))
+    return out.reshape(B, K, wsubs * 128)[:, :, :width]

@@ -49,3 +49,18 @@ def test_gather_rows_coalesced_on_tpu():
         got = gather_rows_coalesced(x, jnp.asarray(starts), W)
         ref = gather_rows_reference(x, jnp.asarray(starts), W)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_gather_rows_pipelined_on_tpu():
+    from speedy_tpu.ops.pallas_kernels import gather_rows_pipelined
+
+    rng = np.random.default_rng(3)
+    B, K, W, L = 4, 200, 321, 50000
+    x = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    starts = jnp.asarray(
+        np.sort(rng.integers(0, L - W, size=(B, K))).astype(np.int32)
+    )
+    got = gather_rows_pipelined(x, starts, W)
+    ref = gather_rows_reference(x, starts, W)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -170,6 +170,7 @@ void speedyAddDataShort(speedyStream s, const int16_t* input, int64_t at_time) {
   speedyAddData(s, buf.data(), at_time);
 }
 
+float speedyEvaluateHysteresis(speedyStream s, int64_t at_time);
 static float EvaluateHysteresis(speedyStream s, int64_t at_time) {
   float future_max = 0.0f, past_max = 0.0f;
   for (int i = 0; i <= kHystFuture; i++) {
@@ -184,6 +185,79 @@ static float EvaluateHysteresis(speedyStream s, int64_t at_time) {
   }
   return (past_max + future_max) / 2.0f;
 }
+
+float speedyEvaluateHysteresis(speedyStream s, int64_t at_time) {
+  return EvaluateHysteresis(s, at_time);
+}
+
+void speedyAddToHysteresisBuffer(speedyStream s, float value, int64_t at_time) {
+  s->hyst_ring[posmod(at_time, 2 * s->hist)] = value;
+}
+
+float* speedyGetSpectrogramAtTime(speedyStream s, int64_t at_time) {
+  return s->spec_at(at_time);
+}
+
+void speedyPreemphasisFilter(speedyStream s, float* input, int length) {
+  // filter([1 -0.97], 1, x) in place with persistent state (speedy.c:416).
+  for (int i = 0; i < length; i++) {
+    float last = input[i];
+    input[i] -= kPreemphasis * s->preemph_state;
+    s->preemph_state = last;
+  }
+}
+
+float speedyNormalizeByEnergy(const float* spectrogram, float* normalized,
+                              int length) {
+  float energy = 0.0f;
+  for (int i = 1; i < length; i++) energy += spectrogram[i] * spectrogram[i];
+  float inv = 1.0f / (std::sqrt(energy) + kEps);
+  for (int i = 0; i < length; i++) normalized[i] = spectrogram[i] * inv;
+  return energy;
+}
+
+float* speedySpectrogram(speedyStream s, float* input) {
+  // Windowed magnitude DFT of a caller-provided frame (no preemphasis, no
+  // ring update) — the white-box entry used by the reference's tests.
+  const int w = s->window_size;
+  std::vector<double> fw(w);
+  for (int i = 0; i < w; i++) fw[i] = static_cast<double>(input[i]) * s->window[i];
+  for (int k = 0; k <= w; k++) {
+    double re = 0.0, im = 0.0;
+    for (int n = 0; n < w; n++) {
+      re += fw[n] * s->dft_cos[static_cast<size_t>(n) * (w + 1) + k];
+      im += fw[n] * s->dft_sin[static_cast<size_t>(n) * (w + 1) + k];
+    }
+    s->spectrogram_full[k] = static_cast<float>(std::sqrt(re * re + im * im));
+  }
+  for (int k = 1; k < w; k++) {
+    s->spectrogram_full[2 * w - k] = s->spectrogram_full[k];
+  }
+  return s->spectrogram_full.data();
+}
+
+/* FirstOrderFilter C API (speedy.c:50-88 semantics). */
+struct FirstOrderFilterStruct {
+  float state = 0.0f;
+  float alpha = 0.0f;
+};
+
+FirstOrderFilter CreateFirstOrderFilter(float tau) {
+  auto* f = new FirstOrderFilterStruct();
+  DesignFirstOrderLowpassFilter(f, tau);
+  return f;
+}
+void DesignFirstOrderLowpassFilter(FirstOrderFilter f, float tau) {
+  f->state = 0.0f;
+  f->alpha = tau > 0 ? std::exp(-1.0 / tau) : 0.0f;
+}
+float IterateFirstOrderFilter(FirstOrderFilter f, float input) {
+  f->state = (1.0f - f->alpha) * input + f->alpha * f->state;
+  return f->state;
+}
+void ResetFirstOrderFilter(FirstOrderFilter f) { f->state = 0.0f; }
+void SetFirstOrderFilterState(FirstOrderFilter f, float v) { f->state = v; }
+void DeleteFirstOrderFilter(FirstOrderFilter f) { delete f; }
 
 int speedyComputeTension(speedyStream s, int64_t at_time, float* tension) {
   if (at_time + kHystFuture > s->current_time) return 0;

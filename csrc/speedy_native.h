@@ -43,6 +43,27 @@ float* speedyGetInternalState(speedyStream stream);    /* 15 floats */
 float* speedyGetSpectrogram(speedyStream stream);      /* fft_size floats */
 float* speedyGetNormalizedSpectrogram(speedyStream stream);
 
+/* White-box test surface (speedy.h:89-133 parity). */
+float* speedySpectrogram(speedyStream stream, float* input);
+float speedyEvaluateHysteresis(speedyStream stream, int64_t at_time);
+void speedyAddToHysteresisBuffer(speedyStream stream, float value,
+                                 int64_t at_time);
+float* speedyGetSpectrogramAtTime(speedyStream stream, int64_t at_time);
+void speedyPreemphasisFilter(speedyStream stream, float* input, int length);
+float speedyNormalizeByEnergy(const float* spectrogram, float* normalized,
+                              int length);
+
+/* FirstOrderFilter C API (speedy.h:124-133). */
+struct FirstOrderFilterStruct;
+typedef struct FirstOrderFilterStruct* FirstOrderFilter;
+FirstOrderFilter CreateFirstOrderFilter(float time_constant_in_samples);
+void DesignFirstOrderLowpassFilter(FirstOrderFilter fof,
+                                   float time_constant_in_samples);
+float IterateFirstOrderFilter(FirstOrderFilter fof, float input);
+void ResetFirstOrderFilter(FirstOrderFilter fof);
+void SetFirstOrderFilterState(FirstOrderFilter fof, float new_state);
+void DeleteFirstOrderFilter(FirstOrderFilter fof);
+
 #define kFeatureValueCount 15
 
 /* ------------------------------------------------------------------ */

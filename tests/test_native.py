@@ -230,3 +230,63 @@ def test_native_flush_bounds(lib):
         out = st.read_short(2 * n)
         expected = n / 3.0
         assert abs(len(out) - expected) < 0.1 * expected + 200
+
+
+def test_native_whitebox_surface(lib):
+    """White-box C API parity (speedy.h:89-133): FirstOrderFilter,
+    preemphasis state, hysteresis ramp, normalize-by-energy."""
+    import ctypes
+    import math
+
+    # FirstOrderFilter: impulse decays to e^-1 in tau steps.
+    lib.CreateFirstOrderFilter.restype = ctypes.c_void_p
+    lib.CreateFirstOrderFilter.argtypes = [ctypes.c_float]
+    lib.IterateFirstOrderFilter.restype = ctypes.c_float
+    lib.IterateFirstOrderFilter.argtypes = [ctypes.c_void_p, ctypes.c_float]
+    lib.ResetFirstOrderFilter.argtypes = [ctypes.c_void_p]
+    lib.DeleteFirstOrderFilter.argtypes = [ctypes.c_void_p]
+    lib.speedyDestroyStream.argtypes = [ctypes.c_void_p]
+    f = ctypes.c_void_p(lib.CreateFirstOrderFilter(10.0))
+    first = lib.IterateFirstOrderFilter(f, 1.0)
+    out = 0.0
+    for _ in range(10):
+        out = lib.IterateFirstOrderFilter(f, 0.0)
+    assert abs(out - first * math.exp(-1)) < 1e-7
+    lib.ResetFirstOrderFilter(f)
+    assert abs(lib.IterateFirstOrderFilter(f, 0.0)) < 1e-7
+    lib.DeleteFirstOrderFilter(f)
+
+    lib.speedyCreateStream.restype = ctypes.c_void_p
+    st = ctypes.c_void_p(lib.speedyCreateStream(22050))
+
+    # Preemphasis impulse + cross-call state (speedy_test.cc:259-284).
+    lib.speedyPreemphasisFilter.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    x = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+    lib.speedyPreemphasisFilter(st, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 4)
+    np.testing.assert_allclose(x, [1.0, -0.97, 0.0, 0.0], atol=1e-7)
+
+    # Hysteresis impulse ramps (speedy_test.cc:288-313, MATCH_MATLAB arm).
+    lib.speedyAddToHysteresisBuffer.argtypes = [
+        ctypes.c_void_p, ctypes.c_float, ctypes.c_int64]
+    lib.speedyEvaluateHysteresis.restype = ctypes.c_float
+    lib.speedyEvaluateHysteresis.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    correct = ([0] * 9 + [i / 16.0 for i in range(1, 8)] + [1.0]
+               + [i / 24.0 for i in range(11, 0, -1)] + [0, 0, 0, 0])
+    for i in range(32):
+        lib.speedyAddToHysteresisBuffer(st, 1.0 if i == 16 else 0.0, i)
+    for i in range(32):
+        assert abs(lib.speedyEvaluateHysteresis(st, i) - correct[i]) < 1e-7, i
+
+    # NormalizeByEnergy (speedy_test.cc:317-328).
+    lib.speedyNormalizeByEnergy.restype = ctypes.c_float
+    lib.speedyNormalizeByEnergy.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    inp = np.array([0, 0, 1, 0, 1], np.float32)
+    outp = np.zeros(5, np.float32)
+    e = lib.speedyNormalizeByEnergy(
+        inp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        outp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 5)
+    assert abs(e - 2.0) < 1e-7
+    np.testing.assert_allclose(outp, [0, 0, 0.7071068, 0, 0.7071068], atol=1e-6)
+    lib.speedyDestroyStream(st)

@@ -139,3 +139,65 @@ def test_noise_input_length():
         r = linear_time_scale(noise, cfg, 3.0, engine=engine)
         expected = len(noise) / 3.0
         assert abs(len(r.output) - expected) < 0.02 * expected, engine
+
+
+def test_paper_mode_hysteresis():
+    """MATCH_MATLAB=False swaps hysteresis future/past to 12/8 (the
+    paper's orientation, speedy.h:142-146); verify the swapped ramp."""
+    import jax.numpy as jnp
+
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.ops.hysteresis import tapered_max_hysteresis
+
+    cfg = SpeedyConfig(22050, match_matlab=False)
+    assert (cfg.hysteresis_future, cfg.hysteresis_past) == (12, 8)
+    correct = ([0] * 5 + [i / 24.0 for i in range(1, 12)] + [1.0]
+               + [i / 16.0 for i in range(7, 0, -1)] + [0] * 8)
+    values = np.zeros(32, np.float32)
+    values[16] = 1.0
+    got = np.asarray(tapered_max_hysteresis(jnp.asarray(values), 12, 8, 32))
+    np.testing.assert_allclose(got, np.array(correct, np.float32), atol=1e-7)
+
+
+def test_paper_mode_end_to_end():
+    """The full pipeline runs in paper mode with its longer lookahead."""
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.ops.analysis import analyze_jit
+
+    cfg = SpeedyConfig(16000, match_matlab=False)
+    x = (0.3 * np.sin(np.arange(16000) * 0.06)).astype(np.float32)
+    res = analyze_jit(x, cfg)
+    T = cfg.num_frames(16000)
+    assert res.tension.shape[0] == T - 12  # 120 ms lookahead
+    assert np.all(np.isfinite(np.asarray(res.tension)))
+
+
+def test_streaming_latency_contract():
+    """First output appears once the analysis lookahead is satisfied:
+    the shim needs (future+2) frames buffered (kMinBufferSize contract,
+    soniclib.c:91) — i.e. ~100 ms of input at 100 frames/s — before the
+    first resynthesized samples emerge."""
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.streaming import SonicStream
+
+    sr = 16000
+    cfg = SpeedyConfig(sr)
+    step = cfg.frame_step_int
+    x = (20000 * np.sin(np.arange(sr) * 0.09)).astype(np.int16)
+    st = SonicStream(sr, 1)
+    st.set_speed(2.0)
+    st.enable_nonlinear_speedup(1.0)
+    first_out_at = None
+    for t in range(0, len(x), step):
+        st.write_short(x[t : t + step])
+        if st.samples_available() > 0:
+            first_out_at = t + step
+            break
+    assert first_out_at is not None
+    # End-to-end latency = analysis lookahead (8 frames + shim slack) plus
+    # the WSOLA engine's fill requirement (2*max_period + chunk samples
+    # before its first synthesis step).
+    engine_fill = 3 * cfg.wsola_max_period
+    bound = (cfg.hysteresis_future + 2) * step + engine_fill + step
+    assert first_out_at <= bound, (first_out_at, bound)
+    assert first_out_at >= cfg.hysteresis_future * step

@@ -148,3 +148,15 @@ def test_batched_slowdown_capacity_contract():
     y = np.asarray(out.output)
     for b in range(2):
         assert np.any(y[b, valid[b] - 400 : valid[b]] != 0)  # not truncated
+
+
+def test_corpus_engine_with_mesh():
+    """CorpusEngine in sharded mode on the virtual device mesh."""
+    if jax.device_count() < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg = SpeedyConfig(16000)
+    utts = [make_batch(B=1, L=8000, seed=s)[0] for s in range(8)]
+    plain = CorpusEngine(cfg, 3.0, batch_size=8).process(utts)
+    meshed = CorpusEngine(cfg, 3.0, batch_size=8, use_mesh=True).process(utts)
+    for a, b in zip(plain, meshed):
+        assert abs(len(a) - len(b)) <= 2

@@ -86,9 +86,15 @@ def _wsola_grid_batch(
     hop: int,
     capacity: int,
     num_chunks: int,
+    xs_channels: Optional[jnp.ndarray] = None,
 ) -> WsolaResult:
     """xs[B, L], input_lengths[B], speeds[B, F] -> WsolaResult with
-    output[B, capacity], valid_length[B]."""
+    output[B, capacity], valid_length[B].
+
+    xs_channels [B, C, L] (optional): synthesize each channel with the
+    mono-derived pitch/positions (the multichannel contract of the
+    reference shim — identical channels produce identical outputs);
+    output becomes [B, C, capacity]."""
     dtype = xs.dtype
     B, L = xs.shape
     K = num_chunks
@@ -211,19 +217,43 @@ def _wsola_grid_batch(
     # ---- 4. synthesis: fractional-delay gather, half-slot OLA ----
     win = jnp.asarray(_cola_hann(Wn, np.dtype(dtype).name))
     a_i = jnp.floor(a).astype(jnp.int32)
-    a_f = (a - a_i.astype(dtype))[:, :, None]
-    wide = _gather_rows(x_pad, a_i + pad_front, Wn + 1)  # [B, K, Wn+1]
-    raw = wide[:, :, :-1] * (1.0 - a_f) + wide[:, :, 1:] * a_f
-    rows = raw * win[None, None, :]
-    firsts = rows[:, :, :Hs]
-    seconds = rows[:, :, Hs:]
-    slots = firsts + jnp.concatenate(
-        [jnp.zeros((B, 1, Hs), dtype), seconds[:, :-1]], axis=1
-    )
-    slots = jnp.concatenate([raw[:, :1, :Hs], slots[:, 1:]], axis=1)
-    out_full = slots.reshape(B, K * Hs)  # plan guarantees K*Hs >= capacity
-    idx = jnp.arange(capacity, dtype=jnp.int32)
-    out = jnp.where(idx[None, :] < valid[:, None], out_full[:, :capacity], 0.0)
+    a_f = a - a_i.astype(dtype)
+
+    def synth(src_pad, a_i_s, a_f_s, valid_s):
+        # src_pad [N, Lp]; positions [N, K] -> output [N, capacity]
+        n = src_pad.shape[0]
+        wide = _gather_rows(src_pad, a_i_s + pad_front, Wn + 1)  # [N, K, Wn+1]
+        af = a_f_s[:, :, None]
+        raw = wide[:, :, :-1] * (1.0 - af) + wide[:, :, 1:] * af
+        rows = raw * win[None, None, :]
+        firsts = rows[:, :, :Hs]
+        seconds = rows[:, :, Hs:]
+        slots = firsts + jnp.concatenate(
+            [jnp.zeros((n, 1, Hs), dtype), seconds[:, :-1]], axis=1
+        )
+        slots = jnp.concatenate([raw[:, :1, :Hs], slots[:, 1:]], axis=1)
+        out_full = slots.reshape(n, K * Hs)  # plan: K*Hs >= capacity
+        idx = jnp.arange(capacity, dtype=jnp.int32)
+        return jnp.where(
+            idx[None, :] < valid_s[:, None], out_full[:, :capacity], 0.0
+        )
+
+    if xs_channels is None:
+        out = synth(x_pad, a_i, a_f, valid)
+    else:
+        C = xs_channels.shape[1]
+        ch_pad = jnp.concatenate(
+            [
+                jnp.zeros((B, C, pad_front), dtype),
+                xs_channels,
+                jnp.zeros((B, C, x_pad.shape[1] - pad_front - L), dtype),
+            ],
+            axis=2,
+        ).reshape(B * C, -1)
+        rep = lambda v: jnp.repeat(v, C, axis=0)
+        out = synth(ch_pad, rep(a_i), rep(a_f), rep(valid)).reshape(
+            B, C, capacity
+        )
     return WsolaResult(out, valid, jnp.full((B,), K, jnp.int32))
 
 

@@ -270,6 +270,68 @@ def compile_batch_step(
     return jax.jit(fn)
 
 
+def batched_nonlinear_speedup_multichannel(
+    xs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: SpeedyConfig,
+    global_speed: float,
+    nonlinear_factor: float = 1.0,
+    duration_feedback_strength: float = 0.1,
+    min_speed_bound: Optional[float] = None,
+    mesh: Optional[Mesh] = None,
+) -> BatchResult:
+    """Multichannel batch step: xs[B, L, C] -> output[B, C, capacity].
+
+    Analysis runs on the channel mean (the shim's mixdown, soniclib.c:
+    262-287); every channel is resynthesized with the mono-derived pitch
+    and phase positions, so identical channels stay identical."""
+    B, L, C = xs.shape
+    mono = jnp.mean(xs, axis=2)
+    step = cfg.frame_step_int
+    W = cfg.window_size
+    fut = cfg.hysteresis_future
+    T = cfg.num_frames(L, integer_step=True)
+    if min_speed_bound is None:
+        min_speed_bound = 1.0 if global_speed >= 1.0 else max(C_MIN, 0.3 * global_speed)
+    minp, maxp, _, _ = wsola.plan(cfg, L, min_speed_bound)
+
+    tension = batched_analysis(mono, cfg, T, mesh)
+    if global_speed > 1.0:
+        speeds = speed_from_tension_parallel(
+            tension, global_speed, duration_feedback_strength, nonlinear_factor
+        )
+    else:
+        speeds, _ = jax.vmap(
+            lambda t: speed_from_tension(
+                t, global_speed, duration_feedback_strength, nonlinear_factor
+            )
+        )(tension)
+    valid_frames = jnp.where(lengths >= W, (lengths - W) // step + 1, 0)
+    valid_tension = jnp.maximum(valid_frames - fut, 0)
+    speeds = jax.vmap(_mask_speeds)(speeds, valid_tension)
+    speeds = jnp.where(
+        (valid_tension > 0)[:, None], speeds, jnp.asarray(global_speed, mono.dtype)
+    )
+    speeds = jnp.maximum(speeds, jnp.asarray(min_speed_bound, mono.dtype))
+    hop, gcap, K = wsola_fast.plan_grid(cfg, L, min_speed_bound)
+    out = wsola_fast._wsola_grid_batch(
+        mono,
+        lengths.astype(jnp.int32),
+        speeds,
+        minp,
+        maxp,
+        step,
+        hop,
+        gcap,
+        K,
+        xs_channels=jnp.transpose(xs, (0, 2, 1)),
+    )
+    return BatchResult(out.output, out.valid_length, tension, speeds)
+
+
+C_MIN = C.MIN_SPEED
+
+
 class CorpusEngine:
     """Process a corpus of variable-length utterances at maximum throughput.
 

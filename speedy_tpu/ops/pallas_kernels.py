@@ -15,6 +15,7 @@ issue rate is the floor for independent unaligned reads.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,11 +27,23 @@ _ALIGN = 1024  # 1D f32 HBM tiling on v5e
 
 
 def _gather_rows_kernel(
-    width, rows_per_block, length, starts_ref, x_ref, out_ref, scratch, sems
+    width,
+    rows_per_block,
+    length,
+    nvalid_ref,
+    starts_ref,
+    x_ref,
+    out_ref,
+    scratch,
+    sems,
 ):
     # starts_ref is the scalar-prefetched [Bc, K] starts array in SMEM; the
     # wrapper chunks the batch so Bc*K*4 bytes stays under the 1 MB SMEM
-    # budget.
+    # budget. nvalid_ref [Bc] is the per-utterance count of rows worth
+    # fetching: rows >= nvalid are skipped entirely (no DMA, output left
+    # unwritten = garbage the caller masks), which at a 3.5x speedup
+    # avoids ~70% of the DMA issue cost (output capacity is planned for
+    # the worst-case speed of 1.0).
     # x_ref is the flattened [B*L] waveform. HBM slices must be tile
     # (1024)-aligned, so each row DMAs an aligned superset block into a
     # VMEM scratch viewed as [sublanes, 128]; the dynamic in-tile offset
@@ -43,45 +56,62 @@ def _gather_rows_kernel(
     out_subs = out_ref.shape[2]
     offs = []
     kb = pl.program_id(1)
+    nvalid = nvalid_ref[b]
     for i in range(rows_per_block):
         s = b * length + starts_ref[b, kb * rows_per_block + i]
         row = pl.multiple_of((s // _ALIGN) * (_ALIGN // 128), 8)
-        pltpu.make_async_copy(
-            x_ref.at[pl.ds(row, brows), :], scratch.at[i], sems.at[i]
-        ).start()
+
+        @pl.when(kb * rows_per_block + i < nvalid)
+        def _():
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(row, brows), :], scratch.at[i], sems.at[i]
+            ).start()
+
         offs.append(s - row * 128)
     lane = jax.lax.broadcasted_iota(jnp.int32, (brows, 128), 1)
     for i in range(rows_per_block):
-        pltpu.make_async_copy(
-            x_ref.at[pl.ds(0, brows), :], scratch.at[i], sems.at[i]
-        ).wait()
-        a = scratch[i]
-        sub = offs[i] // 128
-        r = offs[i] - sub * 128
-        # pltpu.roll requires non-negative shifts: roll(x, n - k) == x << k.
-        b1 = pltpu.roll(a, brows - sub, 0)
-        lanes_cur = pltpu.roll(b1, 128 - r, 1)
-        lanes_next = pltpu.roll(pltpu.roll(b1, brows - 1, 0), 128 - r, 1)
-        c = jnp.where(lane < 128 - r, lanes_cur, lanes_next)
-        out_ref[0, i, :, :] = c[:out_subs]
+
+        @pl.when(kb * rows_per_block + i < nvalid)
+        def _():
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(0, brows), :], scratch.at[i], sems.at[i]
+            ).wait()
+            a = scratch[i]
+            sub = offs[i] // 128
+            r = offs[i] - sub * 128
+            # pltpu.roll requires non-negative shifts: roll(x, n-k) == x << k.
+            b1 = pltpu.roll(a, brows - sub, 0)
+            lanes_cur = pltpu.roll(b1, 128 - r, 1)
+            lanes_next = pltpu.roll(pltpu.roll(b1, brows - 1, 0), 128 - r, 1)
+            c = jnp.where(lane < 128 - r, lanes_cur, lanes_next)
+            out_ref[0, i, :, :] = c[:out_subs]
 
 
 @functools.partial(jax.jit, static_argnames=("width", "rows_per_block"))
 def gather_rows_pallas(
-    x: jnp.ndarray, starts: jnp.ndarray, width: int, rows_per_block: int = 8
+    x: jnp.ndarray,
+    starts: jnp.ndarray,
+    width: int,
+    rows_per_block: int = 8,
+    n_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """x[B, L], starts[B, K] (0 <= s <= L - width) -> rows[B, K, width]."""
+    """x[B, L], starts[B, K] (0 <= s <= L - width) -> rows[B, K, width].
+
+    n_valid [B] (optional): per-utterance count of leading rows to
+    actually fetch; rows beyond it return unspecified values."""
     B, L = x.shape
     K = starts.shape[1]
     assert K % rows_per_block == 0, (K, rows_per_block)
+    if n_valid is None:
+        n_valid = jnp.full((B,), K, jnp.int32)
     wsubs = (width + 127) // 128  # output sublanes per row
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, K // rows_per_block),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
             (1, rows_per_block, wsubs, 128),
-            lambda b, kb, starts: (b, kb, 0, 0),
+            lambda b, kb, nvalid, starts: (b, kb, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -106,7 +136,7 @@ def gather_rows_pallas(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, K, wsubs, 128), x.dtype),
         grid_spec=grid_spec,
-    )(starts, x2)
+    )(n_valid.astype(jnp.int32), starts, x2)
     return out.reshape(B, K, wsubs * 128)[:, :, :width]
 
 
@@ -119,10 +149,17 @@ def gather_rows_reference(x: jnp.ndarray, starts: jnp.ndarray, width: int):
     )(x, starts)
 
 
-def gather_rows(x: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray:
+def gather_rows(
+    x: jnp.ndarray,
+    starts: jnp.ndarray,
+    width: int,
+    n_valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """Best-available row gather: Pallas DMA kernel on TPU, XLA elsewhere.
 
     Pads the row count to the DMA block size; callers may pass any K.
+    n_valid [B] (optional): rows beyond it may return unspecified values
+    (the TPU kernel skips their DMAs entirely).
     """
     if jax.default_backend() != "tpu":
         return gather_rows_reference(x, starts, width)
@@ -137,13 +174,17 @@ def gather_rows(x: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray:
     # the batch so each call stays under ~200k int32 entries.
     b_chunk = max(1, 200_000 // starts.shape[1])
     if B <= b_chunk:
-        out = gather_rows_pallas(x, starts, width, rpb)
+        out = gather_rows_pallas(x, starts, width, rpb, n_valid)
     else:
         outs = []
         for b0 in range(0, B, b_chunk):
             outs.append(
                 gather_rows_pallas(
-                    x[b0 : b0 + b_chunk], starts[b0 : b0 + b_chunk], width, rpb
+                    x[b0 : b0 + b_chunk],
+                    starts[b0 : b0 + b_chunk],
+                    width,
+                    rpb,
+                    None if n_valid is None else n_valid[b0 : b0 + b_chunk],
                 )
             )
         out = jnp.concatenate(outs, axis=0)

@@ -101,13 +101,121 @@ def _pitch_corr_matrices(
     return Ea.astype(f), Es.astype(f), Inv.astype(f), Band.astype(f)
 
 
-def _gather_rows(x: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray:
+def _gather_rows(
+    x: jnp.ndarray,
+    starts: jnp.ndarray,
+    width: int,
+    n_valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """x[B, Lp], starts[B, K] -> rows[B, K, width]: Pallas DMA kernel on
     TPU (~3x the throughput of XLA's gather lowering), vmapped dynamic
-    slices elsewhere."""
+    slices elsewhere. Rows beyond n_valid[b] may return garbage (their
+    DMAs are skipped — capacity is planned for worst-case speed 1.0, so
+    at a 3.5x speedup this skips ~70% of the issue cost)."""
     from .pallas_kernels import gather_rows
 
-    return gather_rows(x, starts, width)
+    return gather_rows(x, starts, width, n_valid)
+
+
+def _gather_rows_spans(
+    x: jnp.ndarray,
+    starts: jnp.ndarray,
+    width: int,
+    span_rows: int,
+    w_span: int,
+    n_valid_rows: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Block-span row gather: the fast path for sorted-ish starts.
+
+    The per-row DMA kernel is issue-rate bound (~0.85 us/row on v5e
+    regardless of design — see pallas_kernels.py), so instead fetch ONE
+    aligned span of w_span samples per block of span_rows consecutive
+    rows (span_rows x fewer DMAs) and extract the rows from the spans with
+    dense, fully vectorized XLA ops:
+
+      1. superblock select: one-hot [R, nsb] @ overlapped 1536-wide views
+         of the span (exact f32 matmul — one-hot times value is lossless),
+      2. two radix-8 shift levels (128- and 16-sample) as where-masked
+         static slices,
+      3. a 4-step barrel shift for the final 0..15 lanes.
+
+    Correctness requires max(starts)-min(starts) < w_span - width - 15
+    within every block; callers guarantee it by clamping speeds to the
+    static plan bound (the same planner contract as min_speed_bound).
+    n_valid_rows [B]: blocks entirely past it are skipped (no DMA);
+    their rows return unspecified values.
+    """
+    assert w_span % 1024 == 0
+    B, K = starts.shape
+    R = span_rows
+    NB = -(-K // R)
+    if NB * R != K:
+        starts = jnp.concatenate(
+            [starts, jnp.tile(starts[:, -1:], (1, NB * R - K))], axis=1
+        )
+    s2 = starts.reshape(B, NB, R)
+    base = jnp.min(s2, axis=2)  # [B, NB]
+    offs = (s2 - base[:, :, None]).astype(jnp.int32)
+    nvb = None
+    if n_valid_rows is not None:
+        nvb = jnp.minimum(-(-n_valid_rows // R), NB).astype(jnp.int32)
+    from .pallas_kernels import gather_rows
+
+    # Spans may run past the padded signal end (base is clipped to the
+    # valid region but base + w_span need not be): give the slice room so
+    # the CPU fallback's dynamic_slice never shifts its start.
+    x = jnp.concatenate([x, jnp.zeros((B, w_span), x.dtype)], axis=1)
+    spans = gather_rows(x, base, w_span, nvb)  # [B, NB, w_span]
+
+    dtype = x.dtype
+    nsb = w_span // 1024
+    # Level widths, innermost out: the barrel consumes shifts < 16 (plus
+    # its own <=15-lane wrap margin), level C consumes 7*16, level B
+    # 7*128, level A the 1024-aligned superblock index.
+    w3 = -(-(width + 15) // 16) * 16 + 16
+    w2 = 7 * 16 + w3
+    w1 = 7 * 128 + w2
+    v_extra = max(512, -(-(w1 - 1024) // 128) * 128)
+    assert v_extra <= 1024, f"row width {width} too large for 1024-superblocks"
+    sp_pad = jnp.concatenate([spans, jnp.zeros((B, NB, 1024), dtype)], axis=-1)
+    Vl = sp_pad.reshape(B, NB, nsb + 1, 1024)
+    V = jnp.concatenate([Vl[:, :, :nsb], Vl[:, :, 1:, :v_extra]], axis=-1)
+
+    qA = offs // 1024
+    rA = offs - qA * 1024
+    onehotA = (qA[..., None] == jnp.arange(nsb, dtype=jnp.int32)).astype(dtype)
+    slabA = jnp.einsum(
+        "bnrj,bnjc->bnrc", onehotA, V, precision=jax.lax.Precision.HIGHEST
+    )[..., :w1]  # [B, NB, R, w1]
+
+    qB = rA // 128
+    rB = rA - qB * 128
+    slabB = sum(
+        jnp.where(
+            (qB == j)[..., None],
+            jax.lax.slice_in_dim(slabA, j * 128, j * 128 + w2, axis=-1),
+            jnp.zeros((), dtype),
+        )
+        for j in range(8)
+    )  # [B, NB, R, w2]
+
+    qC = rB // 16
+    rC = rB - qC * 16
+    slabC = sum(
+        jnp.where(
+            (qC == j)[..., None],
+            jax.lax.slice_in_dim(slabB, j * 16, j * 16 + w3, axis=-1),
+            jnp.zeros((), dtype),
+        )
+        for j in range(8)
+    )  # [B, NB, R, w3]
+
+    slab = slabC
+    for bit in range(4):
+        sh = 1 << bit
+        rolled = jnp.roll(slab, -sh, axis=-1)
+        slab = jnp.where((rC & sh)[..., None] != 0, rolled, slab)
+    return slab[..., :width].reshape(B, NB * R, width)[:, :K]
 
 
 @functools.partial(
@@ -119,6 +227,8 @@ def _gather_rows(x: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray
         "hop",
         "capacity",
         "num_chunks",
+        "max_speed_plan",
+        "span_rows",
     ),
 )
 def _wsola_grid_batch(
@@ -132,6 +242,8 @@ def _wsola_grid_batch(
     capacity: int,
     num_chunks: int,
     xs_channels: Optional[jnp.ndarray] = None,
+    max_speed_plan: Optional[float] = None,
+    span_rows: int = 32,
 ) -> WsolaResult:
     """xs[B, L], input_lengths[B], speeds[B, F] -> WsolaResult with
     output[B, capacity], valid_length[B].
@@ -139,9 +251,17 @@ def _wsola_grid_batch(
     xs_channels [B, C, L] (optional): synthesize each channel with the
     mono-derived pitch/positions (the multichannel contract of the
     reference shim — identical channels produce identical outputs);
-    output becomes [B, C, capacity]."""
+    output becomes [B, C, capacity].
+
+    max_speed_plan (static, optional): planner bound on instantaneous
+    speed. When set, speeds are clamped to it (the ceiling analog of the
+    engine's min_speed_bound floor) and synthesis uses the block-span
+    gather (_gather_rows_spans) whose span width it sizes — the TPU fast
+    path. When None, the per-row gather is used and speeds are unbounded."""
     dtype = xs.dtype
     B, L = xs.shape
+    if max_speed_plan is not None:
+        speeds = jnp.minimum(speeds, jnp.asarray(max_speed_plan, dtype))
     K = num_chunks
     Hs = hop
     Wn = 2 * Hs
@@ -272,10 +392,33 @@ def _wsola_grid_batch(
     a_i = jnp.floor(a).astype(jnp.int32)
     a_f = a - a_i.astype(dtype)
 
+    if max_speed_plan is None:
+        w_span = None
+    else:
+        need = (
+            (span_rows - 1) * int(np.ceil(Hs * max_speed_plan))
+            + maxp
+            + (Wn + 1)
+            + 32
+        )
+        w_span = -(-need // 1024) * 1024
+
     def synth(src_pad, a_i_s, a_f_s, valid_s):
         # src_pad [N, Lp]; positions [N, K] -> output [N, capacity]
         n = src_pad.shape[0]
-        wide = _gather_rows(src_pad, a_i_s + pad_front, Wn + 1)  # [N, K, Wn+1]
+        # Rows whose output slot is past valid_s contribute nothing the
+        # capacity mask keeps; skip their DMAs.
+        valid_rows = jnp.minimum(valid_s // Hs + 2, K)
+        if w_span is None:
+            wide = _gather_rows(src_pad, a_i_s + pad_front, Wn + 1, valid_rows)
+        else:
+            # Block-span gather: fewer DMAs but ~6 GB of HBM extraction
+            # traffic — measured net-slower than skip-aware per-row DMAs
+            # in the full pipeline; kept selectable for wider row widths.
+            wide = _gather_rows_spans(
+                src_pad, a_i_s + pad_front, Wn + 1, span_rows, w_span,
+                valid_rows,
+            )  # [N, K, Wn+1]
         af = a_f_s[:, :, None]
         raw = wide[:, :, :-1] * (1.0 - af) + wide[:, :, 1:] * af
         rows = raw * win[None, None, :]
@@ -337,8 +480,13 @@ def time_scale_grid(
     min_speed_bound: float = 0.25,
     hop: Optional[int] = None,
     capacity: Optional[int] = None,
+    max_speed_bound: Optional[float] = None,
 ) -> WsolaResult:
-    """Grid-parallel time-scaling of a single mono utterance x[L]."""
+    """Grid-parallel time-scaling of a single mono utterance x[L].
+
+    max_speed_bound: optional planner ceiling on instantaneous speed
+    (speeds are clamped to it); enables the block-span gather fast path.
+    None keeps speeds unbounded (per-row gather)."""
     x = jnp.asarray(x)
     if input_length is None:
         input_length = x.shape[-1]
@@ -356,5 +504,6 @@ def time_scale_grid(
         h,
         cap,
         K,
+        max_speed_plan=max_speed_bound,
     )
     return WsolaResult(res.output[0], res.valid_length[0], res.steps_used[0])

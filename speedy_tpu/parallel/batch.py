@@ -225,7 +225,8 @@ def batched_nonlinear_speedup(
         if capacity is not None:
             gcap, K = capacity, capacity // hop + 1
         out = wsola_fast._wsola_grid_batch(
-            xs, lengths.astype(jnp.int32), speeds, minp, maxp, step, hop, gcap, K
+            xs, lengths.astype(jnp.int32), speeds, minp, maxp, step, hop,
+            gcap, K,
         )
     else:
         out = jax.vmap(

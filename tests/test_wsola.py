@@ -134,3 +134,59 @@ def test_length_contract_extremes(speed):
     r = linear_time_scale(sinusoid, CFG, speed)
     expected = len(sinusoid) / speed
     assert abs(len(r.output) - expected) < 0.014 * SR + 0.015 * expected
+
+
+def test_span_gather_matches_per_row():
+    """_gather_rows_spans (block-span DMA + dense extraction) must equal
+    the per-row gather exactly for near-monotone starts, including with a
+    per-utterance valid-row count."""
+    import jax.numpy as jnp
+
+    from speedy_tpu.ops.wsola_fast import _gather_rows, _gather_rows_spans
+
+    rng = np.random.default_rng(7)
+    B, K, width, L = 3, 101, 321, 50000
+    x = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32))
+    steps = rng.integers(0, 900, size=(B, K))
+    starts = jnp.asarray(
+        np.minimum(np.cumsum(steps, axis=1), L - width - 1).astype(np.int32)
+    )
+    R = 32
+    w_span = -(-((R - 1) * 900 + width + 32) // 1024) * 1024
+    ref = np.asarray(_gather_rows(x, starts, width))
+    got = np.asarray(_gather_rows_spans(x, starts, width, R, w_span))
+    np.testing.assert_array_equal(ref, got)
+    n_valid = jnp.asarray(np.array([50, 80, 101], np.int32))
+    got_v = np.asarray(_gather_rows_spans(x, starts, width, R, w_span, n_valid))
+    for b in range(B):
+        np.testing.assert_array_equal(ref[b, : int(n_valid[b])],
+                                      got_v[b, : int(n_valid[b])])
+
+
+def test_grid_engine_max_speed_bound_parity():
+    """With speeds below the plan ceiling, the block-span-gather engine
+    must produce the identical output to the per-row engine."""
+    import jax.numpy as jnp
+
+    from speedy_tpu.ops import wsola_fast
+
+    cfg = SpeedyConfig(SR)
+    t = np.arange(SR * 3) / SR
+    x = (
+        0.4 * np.sin(2 * np.pi * 220 * t)
+        * np.clip(np.sin(2 * np.pi * 3 * t), 0, None)
+    ).astype(np.float32)
+    T = cfg.num_frames(len(x), integer_step=True)
+    speeds = (3.5 + np.sin(np.arange(T) * 0.1)).astype(np.float32)
+    r1 = wsola_fast.time_scale_grid(
+        jnp.asarray(x), jnp.asarray(speeds), cfg, min_speed_bound=1.0
+    )
+    r2 = wsola_fast.time_scale_grid(
+        jnp.asarray(x), jnp.asarray(speeds), cfg, min_speed_bound=1.0,
+        max_speed_bound=6.6,
+    )
+    assert int(r1.valid_length) == int(r2.valid_length)
+    v = int(r1.valid_length)
+    np.testing.assert_array_equal(
+        np.asarray(r1.output)[:v], np.asarray(r2.output)[:v]
+    )

@@ -164,7 +164,10 @@ def gather_rows(
     if jax.default_backend() != "tpu":
         return gather_rows_reference(x, starts, width)
     B, K = starts.shape
-    rpb = 8
+    # 32 rows per grid program: amortizes per-program overhead across the
+    # (majority, at speedups) skipped programs — measured 9.8 vs 11.3 ms
+    # per production batch at rpb=8.
+    rpb = 32
     pad = (-K) % rpb
     if pad:
         starts = jnp.concatenate(

@@ -286,3 +286,156 @@ def gather_rows_pipelined(x: jnp.ndarray, starts: jnp.ndarray, width: int):
         grid_spec=grid_spec,
     )(starts, flat.reshape(-1, 128))
     return out.reshape(B, K, wsubs * 128)[:, :, :width]
+
+
+def _gather_block_kernel(
+    width,
+    rows_per_block,
+    w_rows,
+    nt,
+    length_rows,
+    nvb_ref,
+    bases_ref,
+    q8k_ref,
+    r7k_ref,
+    x_ref,
+    out_ref,
+    scratch,
+    sem,
+):
+    # One program per block of R consecutive rows: a single span DMA into
+    # VMEM, then extraction of ALL R rows at once as 2D vector/MXU ops —
+    # rows live in sublane groups of nt, so the per-row work that made
+    # per-row kernels scalar-issue bound (~0.85 us/row) becomes lane-
+    # parallel:
+    #   1. tile select: one-hot [R*nt, w_rows] @ span [w_rows, 128] on the
+    #      MXU (f32: one-hot times value is exact),
+    #   2. lane shift by the 0..127 residual: 7-step barrel shift with
+    #      per-sublane masks; the cross-tile carry is the next sublane
+    #      (tile k+1 of the same row), exactly the existing roll+select
+    #      trick batched over rows.
+    b = pl.program_id(0)
+    nb = pl.program_id(1)
+    R = rows_per_block
+
+    @pl.when(nb < nvb_ref[b])
+    def _():
+        s = b * length_rows + bases_ref[b, nb]  # in 128-lane rows, 8-aligned
+        row = pl.multiple_of(s, 8)
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(row, w_rows), :], scratch, sem
+        ).start()
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(0, w_rows), :], scratch, sem
+        ).wait()
+        q8k = q8k_ref[0, 0, :, :]  # [R*nt, 1] scratch row index per tile
+        r7k = r7k_ref[0, 0, :, :]  # [R*nt, 1] 0..127 lane residual per row
+        iota_rows = jax.lax.broadcasted_iota(jnp.int32, (R * nt, w_rows), 1)
+        onehot = (iota_rows == q8k).astype(scratch.dtype)
+        slab = jnp.dot(
+            onehot,
+            scratch[...],
+            preferred_element_type=scratch.dtype,
+            precision=jax.lax.Precision.HIGHEST,  # one-hot @ f32 is exact
+        )  # [R*nt, 128]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R * nt, 128), 1)
+        for bit in range(7):
+            sh = 1 << bit
+            cur = pltpu.roll(slab, 128 - sh, 1)
+            nxt = pltpu.roll(pltpu.roll(slab, R * nt - 1, 0), 128 - sh, 1)
+            shifted = jnp.where(lane < 128 - sh, cur, nxt)
+            slab = jnp.where((r7k & sh) != 0, shifted, slab)
+        out_ref[0, 0, :, :] = slab
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "rows_per_block", "w_span")
+)
+def gather_rows_block_pallas(
+    x: jnp.ndarray,
+    starts: jnp.ndarray,
+    width: int,
+    rows_per_block: int,
+    w_span: int,
+    n_valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Block-span gather: x[B, L], near-monotone starts[B, K] -> rows
+    [B, K, width]. One ~w_span-sample DMA per rows_per_block rows plus
+    fully lane-parallel in-VMEM extraction (see _gather_block_kernel) —
+    ~4x the throughput of the per-row DMA kernel at production shapes.
+
+    Requires max-min of starts within each block <= w_span - width - 128
+    (the caller's speed-clamp contract). Rows past n_valid[b] are garbage.
+    """
+    B, L = x.shape
+    K = starts.shape[1]
+    R = rows_per_block
+    NB = -(-K // R)
+    if NB * R != K:
+        starts = jnp.concatenate(
+            [starts, jnp.tile(starts[:, -1:], (1, NB * R - K))], axis=1
+        )
+    nt = (width + 127) // 128 + 1  # tiles per row incl. shift headroom
+    s2 = starts.reshape(B, NB, R)
+    base = jnp.min(s2, axis=2)
+    base_al = (base // 1024) * 1024
+    offs = (s2 - base_al[:, :, None]).astype(jnp.int32)  # < w_span + 1024
+    q8 = offs // 128
+    r7 = offs - q8 * 128
+    ktile = jnp.arange(nt, dtype=jnp.int32)
+    q8k = (q8[..., None] + ktile).reshape(B, NB, R * nt, 1)
+    r7k = jnp.broadcast_to(r7[..., None], (B, NB, R, nt)).reshape(
+        B, NB, R * nt, 1
+    )
+    nvb = (
+        jnp.full((B,), NB, jnp.int32)
+        if n_valid is None
+        else jnp.minimum(-(-n_valid // R), NB).astype(jnp.int32)
+    )
+
+    # Sublane slices must be 8-aligned: round the span row count up.
+    w_rows = -(-((w_span + 1024) // 128 + nt + 8) // 8) * 8
+    # Flatten with per-utterance stride a multiple of 1024 and tail room
+    # for the last block's span.
+    Lp = -(-L // 1024) * 1024
+    pad_cols = Lp - L
+    xp = x if pad_cols == 0 else jnp.concatenate(
+        [x, jnp.zeros((B, pad_cols), x.dtype)], axis=1
+    )
+    flat = xp.reshape(-1)
+    flat = jnp.concatenate([flat, jnp.zeros((w_rows + 8) * 128, x.dtype)])
+    x2 = flat.reshape(-1, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, NB),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, R * nt, 1), lambda b, nb, *_: (b, nb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, R * nt, 1), lambda b, nb, *_: (b, nb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, R * nt, 128), lambda b, nb, *_: (b, nb, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((w_rows, 128), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _gather_block_kernel, width, R, w_rows, nt, Lp // 128
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, NB, R * nt, 128), x.dtype),
+        grid_spec=grid_spec,
+    )(nvb, (base_al // 128).astype(jnp.int32), q8k, r7k, x2)
+    rows = out.reshape(B, NB, R, nt * 128)[..., :width]
+    return rows.reshape(B, NB * R, width)[:, :K]

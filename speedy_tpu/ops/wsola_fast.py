@@ -146,6 +146,13 @@ def _gather_rows_spans(
     their rows return unspecified values.
     """
     assert w_span % 1024 == 0
+    from .pallas_kernels import gather_rows, gather_rows_block_pallas
+
+    if jax.default_backend() == "tpu":
+        # One span DMA per block + fully lane-parallel in-VMEM extraction.
+        return gather_rows_block_pallas(
+            x, starts, width, span_rows, w_span, n_valid_rows
+        )
     B, K = starts.shape
     R = span_rows
     NB = -(-K // R)
@@ -159,8 +166,6 @@ def _gather_rows_spans(
     nvb = None
     if n_valid_rows is not None:
         nvb = jnp.minimum(-(-n_valid_rows // R), NB).astype(jnp.int32)
-    from .pallas_kernels import gather_rows
-
     # Spans may run past the padded signal end (base is clipped to the
     # valid region but base + w_span need not be): give the slice room so
     # the CPU fallback's dynamic_slice never shifts its start.
@@ -243,7 +248,7 @@ def _wsola_grid_batch(
     num_chunks: int,
     xs_channels: Optional[jnp.ndarray] = None,
     max_speed_plan: Optional[float] = None,
-    span_rows: int = 32,
+    span_rows: int = 128,
 ) -> WsolaResult:
     """xs[B, L], input_lengths[B], speeds[B, F] -> WsolaResult with
     output[B, capacity], valid_length[B].
@@ -415,9 +420,8 @@ def _wsola_grid_batch(
         if w_span is None:
             wide = _gather_rows(src_pad, a_i_s + pad_front, Wn + 1, valid_rows)
         else:
-            # Block-span gather: fewer DMAs but ~6 GB of HBM extraction
-            # traffic — measured net-slower than skip-aware per-row DMAs
-            # in the full pipeline; kept selectable for wider row widths.
+            # Block-span gather: one span DMA per 128 rows + lane-
+            # parallel in-VMEM extraction (gather_rows_block_pallas).
             wide = _gather_rows_spans(
                 src_pad, a_i_s + pad_front, Wn + 1, span_rows, w_span,
                 valid_rows,

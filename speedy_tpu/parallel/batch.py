@@ -224,9 +224,13 @@ def batched_nonlinear_speedup(
         hop, gcap, K = wsola_fast.plan_grid(cfg, L, min_speed_bound)
         if capacity is not None:
             gcap, K = capacity, capacity // hop + 1
+        # Ceiling analog of min_speed_bound: the law bounds speeds at
+        # 1.6*R_g - 0.6 (tension >= -0.6); the margin covers duration
+        # feedback. Enables the block-span gather (one DMA per 128 rows).
+        max_speed_plan = 1.6 * global_speed + 1.0 if global_speed > 1.0 else 2.0
         out = wsola_fast._wsola_grid_batch(
             xs, lengths.astype(jnp.int32), speeds, minp, maxp, step, hop,
-            gcap, K,
+            gcap, K, max_speed_plan=max_speed_plan,
         )
     else:
         out = jax.vmap(
@@ -315,6 +319,7 @@ def batched_nonlinear_speedup_multichannel(
     )
     speeds = jnp.maximum(speeds, jnp.asarray(min_speed_bound, mono.dtype))
     hop, gcap, K = wsola_fast.plan_grid(cfg, L, min_speed_bound)
+    max_speed_plan = 1.6 * global_speed + 1.0 if global_speed > 1.0 else 2.0
     out = wsola_fast._wsola_grid_batch(
         mono,
         lengths.astype(jnp.int32),
@@ -326,6 +331,7 @@ def batched_nonlinear_speedup_multichannel(
         gcap,
         K,
         xs_channels=jnp.transpose(xs, (0, 2, 1)),
+        max_speed_plan=max_speed_plan,
     )
     return BatchResult(out.output, out.valid_length, tension, speeds)
 

@@ -49,6 +49,12 @@ from ..config import SpeedyConfig
 from .wsola import WsolaResult
 
 
+# f32 matmul accumulation for the pitch SSD. Measured: HIGH (bf16x3) is
+# ~7% SLOWER than HIGHEST end-to-end on v5e at these shapes and shifts
+# ~0.02% of periods by >0.1 samples — HIGHEST wins on both axes.
+_PITCH_PRECISION = jax.lax.Precision.HIGHEST
+
+
 @functools.lru_cache(maxsize=16)
 def _cola_hann(width: int, dtype: str = "float32") -> np.ndarray:
     """Offset Hann: w[i] + w[i + width/2] == 1 exactly, w > 0 everywhere."""
@@ -342,7 +348,7 @@ def _wsola_grid_batch(
         # once as DFT matmuls on the MXU (see _pitch_corr_matrices); f32
         # accumulation (HIGHEST) — the parabolic refinement differentiates
         # SSD values that nearly cancel, and bf16 products shift minima.
-        hi = jax.lax.Precision.HIGHEST
+        hi = _PITCH_PRECISION
         FA = jnp.einsum("bgt,tk->bgk", a0, Ea, precision=hi)
         FS = jnp.einsum("bgt,tk->bgk", seg_c, Es, precision=hi)
         AR, AI = FA[..., :nb], FA[..., nb:]

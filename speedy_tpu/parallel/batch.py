@@ -99,24 +99,26 @@ def batched_analysis(
     )
     energy_compressed = jnp.sqrt(jnp.minimum(energy / energy_lp, 2.0))
 
-    # Tapered-max hysteresis, batched (same indices for every utterance).
-    t_idx = jnp.arange(T_out, dtype=jnp.int32)[:, None]
-    i_f = np.arange(fut + 1, dtype=np.int32)
-    taper_f = jnp.asarray((fut - i_f) / float(fut), dtype)
-    fut_vals = jnp.take(
-        energy_compressed, t_idx + i_f[None, :], axis=1, mode="fill", fill_value=0
-    )
-    future_max = jnp.maximum(jnp.max(fut_vals * taper_f[None, None, :], axis=2), 0.0)
+    # Tapered-max hysteresis, batched. The windows are REGULAR (frame t
+    # reads t-past..t+fut), so build them from zero-padded static shifted
+    # slices — XLA fuses the running max without the gather lowering that
+    # jnp.take(t_idx + i) would produce.
+    future_max = jnp.zeros((B, T_out), dtype)
+    for i in range(fut + 1):
+        taper = (fut - i) / float(fut)
+        sl = jax.lax.slice_in_dim(energy_compressed, i, min(i + T_out, T), axis=1)
+        if sl.shape[1] < T_out:
+            sl = jnp.concatenate(
+                [sl, jnp.zeros((B, T_out - sl.shape[1]), dtype)], axis=1
+            )
+        future_max = jnp.maximum(future_max, sl * taper)
     past = cfg.hysteresis_past
-    i_p = np.arange(past + 1, dtype=np.int32)
-    taper_p = jnp.asarray((past - i_p) / float(past), dtype)
-    past_idx = t_idx - i_p[None, :]
-    past_vals = jnp.where(
-        (past_idx >= 0)[None, :, :],
-        jnp.take(energy_compressed, jnp.maximum(past_idx, 0), axis=1, mode="clip"),
-        jnp.zeros((), dtype),
-    )
-    past_max = jnp.maximum(jnp.max(past_vals * taper_p[None, None, :], axis=2), 0.0)
+    past_max = jnp.zeros((B, T_out), dtype)
+    for i in range(past + 1):
+        taper = (past - i) / float(past)
+        sl = jax.lax.slice_in_dim(energy_compressed, 0, T_out - i, axis=1)
+        sl = jnp.concatenate([jnp.zeros((B, i), dtype), sl], axis=1)
+        past_max = jnp.maximum(past_max, sl * taper)
     energy_hyst = (past_max + future_max) / 2.0  # [B, T_out]
 
     cur = half[:, :T_out]

@@ -54,6 +54,13 @@ from .wsola import WsolaResult
 # ~0.02% of periods by >0.1 samples — HIGHEST wins on both axes.
 _PITCH_PRECISION = jax.lax.Precision.HIGHEST
 
+# NOTE on a measured dead end: a hierarchical pitch search (coarse SSD on
+# a 2x-decimated signal + exact 12-lag full-rate refinement around the
+# top-2 coarse minima, windows fetched via the block-span gather) was
+# 23% SLOWER end-to-end than the dense MXU SSD below AND picked a
+# 2-3x-worse splice on ~2% of real-speech cells (decimation re-ranks
+# competing harmonic minima). Dense matmul on the MXU wins.
+
 
 @functools.lru_cache(maxsize=16)
 def _cola_hann(width: int, dtype: str = "float32") -> np.ndarray:
@@ -335,55 +342,43 @@ def _wsola_grid_batch(
     seg = jnp.concatenate(
         [y[:, j : j + n_grid] for j in range(m_strides)], axis=-1
     )[:, :, :seg_w]  # [B, n_grid, seg_w]
-    n_lags = maxp - minp + 1
-    M = -(-(seg_w + taps) // 128) * 128
-    nb = M // 2 + 1
-    mats = _pitch_corr_matrices(taps, seg_w, minp, maxp, M, np.dtype(dtype).name)
-    Ea, Es, Inv, Band = (jnp.asarray(m) for m in mats)
-
-    def pitch_of(seg_c):
-        """seg_c [B, Gc, seg_w] -> sub-sample periods [B, Gc]."""
-        a0 = seg_c[:, :, :taps]
-        # Correlations CC[b,g,d] = sum_i a0[i]*seg[i+d] for all lags at
-        # once as DFT matmuls on the MXU (see _pitch_corr_matrices); f32
-        # accumulation (HIGHEST) — the parabolic refinement differentiates
-        # SSD values that nearly cancel, and bf16 products shift minima.
-        hi = _PITCH_PRECISION
-        FA = jnp.einsum("bgt,tk->bgk", a0, Ea, precision=hi)
-        FS = jnp.einsum("bgt,tk->bgk", seg_c, Es, precision=hi)
+    def ssd_matmul(seg_c, a_taps, lag_lo, lag_hi, prec):
+        """SSD(d) for d in [lag_lo, lag_hi] over seg_c [B, Gc, w] with the
+        template = first a_taps samples, as DFT matmuls on the MXU (see
+        _pitch_corr_matrices) — XLA's TPU FFT lowering is ~7x slower."""
+        w = seg_c.shape[-1]
+        M = -(-(w + a_taps) // 128) * 128
+        nb = M // 2 + 1
+        nl = lag_hi - lag_lo + 1
+        mats = _pitch_corr_matrices(
+            a_taps, w, lag_lo, lag_hi, M, np.dtype(dtype).name
+        )
+        Ea, Es, Inv, Band = (jnp.asarray(m) for m in mats)
+        a0 = seg_c[..., :a_taps]
+        FA = jnp.einsum("bgt,tk->bgk", a0, Ea, precision=prec)
+        FS = jnp.einsum("bgt,tk->bgk", seg_c, Es, precision=prec)
         AR, AI = FA[..., :nb], FA[..., nb:]
         SR, SI = FS[..., :nb], FS[..., nb:]
         prod = jnp.concatenate(
             [AR * SR + AI * SI, AR * SI - AI * SR], axis=-1
         )  # [Re | Im] of conj(FA)*FS
-        cc = jnp.einsum("bgk,kl->bgl", prod, Inv, precision=hi)
-        E = jnp.einsum("bgt,tl->bgl", seg_c * seg_c, Band, precision=hi)
-        ssd = E[..., n_lags:] + E[..., :n_lags] - 2.0 * cc
+        cc = jnp.einsum("bgk,kl->bgl", prod, Inv, precision=prec)
+        E = jnp.einsum("bgt,tl->bgl", seg_c * seg_c, Band, precision=prec)
+        return E[..., nl:] + E[..., :nl] - 2.0 * cc
+
+    def parabolic_min(ssd, lag_lo, j_hi):
         jmin = jnp.argmin(ssd, axis=-1)
-        jc = jnp.clip(jmin, 1, n_lags - 2)
+        jc = jnp.clip(jmin, 1, j_hi)
         take = lambda off: jnp.take_along_axis(
             ssd, (jc + off)[..., None], axis=2
         )[..., 0]
         l, m, r = take(-1), take(0), take(1)
         denom = l - 2.0 * m + r
         frac = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
-        return (minp + jc).astype(dtype) + jnp.clip(frac, -0.5, 0.5)
+        return (lag_lo + jc).astype(dtype) + jnp.clip(frac, -0.5, 0.5)
 
-    # Chunk the grid axis only when the DFT work buffers (~4 temporaries
-    # of [B, n_grid, M+2]) would stress HBM; unchunked is ~1.5 ms faster
-    # per production batch (no lax.map serialization).
-    GSEG = 128
-    pitch_bytes = 4 * B * n_grid * (M + 2) * np.dtype("float32").itemsize
-    if n_grid > GSEG and pitch_bytes > (4 << 30):
-        n_gpad = -(-n_grid // GSEG) * GSEG
-        seg_p = jnp.concatenate(
-            [seg, jnp.zeros((B, n_gpad - n_grid, seg_w), dtype)], axis=1
-        )
-        seg_p = seg_p.reshape(B, n_gpad // GSEG, GSEG, seg_w).transpose(1, 0, 2, 3)
-        period_grid = jax.lax.map(pitch_of, seg_p)  # [n_chunks, B, GSEG]
-        period_grid = period_grid.transpose(1, 0, 2).reshape(B, n_gpad)[:, :n_grid]
-    else:
-        period_grid = pitch_of(seg)
+    ssd = ssd_matmul(seg, taps, minp, maxp, _PITCH_PRECISION)
+    period_grid = parabolic_min(ssd, minp, maxp - minp - 1)
     # Look up the period at each chunk's nominal source position.
     g_idx = jnp.clip(jnp.round(c / G).astype(jnp.int32), 0, n_grid - 1)
     period = jnp.take_along_axis(period_grid, g_idx, axis=1)  # [B, K]

@@ -89,11 +89,15 @@ def main():
     else:
         # Steady-state: distinct inputs staged on device, all steps issued
         # back-to-back, every checksum fetched before the window closes.
-        inputs = [fresh() for _ in range(iters)]
-        for xs in inputs:
-            float(jnp.sum(xs))
+        # Each timing window gets its OWN fresh inputs — re-running the
+        # same device buffers would let the relay result-cache serve the
+        # second window instantly and min() would pick the bogus one.
+        windows = [[fresh() for _ in range(iters)] for _ in range(2)]
+        for inputs in windows:
+            for xs in inputs:
+                float(jnp.sum(xs))
         best = None
-        for _ in range(2):
+        for inputs in windows:
             t0 = time.perf_counter()
             outs = [step_fn(xs, lengths) for xs in inputs]
             checksums = [float(s) for s, v in outs]

@@ -364,8 +364,10 @@ def gather_rows_block_pallas(
     fully lane-parallel in-VMEM extraction (see _gather_block_kernel) —
     ~4x the throughput of the per-row DMA kernel at production shapes.
 
-    Requires max-min of starts within each block <= w_span - width - 128
-    (the caller's speed-clamp contract). Rows past n_valid[b] are garbage.
+    Requires max(starts) - min(starts) + width <= w_span within every
+    block (the caller's speed-clamp contract); the base's 1024-alignment
+    residual is absorbed by the extra 1024 samples + nt tiles built into
+    w_rows below. Rows past n_valid[b] are garbage.
     """
     B, L = x.shape
     K = starts.shape[1]

@@ -152,7 +152,7 @@ def _gather_rows_spans(
          static slices,
       3. a 4-step barrel shift for the final 0..15 lanes.
 
-    Correctness requires max(starts)-min(starts) < w_span - width - 15
+    Correctness requires max(starts) - min(starts) + width <= w_span
     within every block; callers guarantee it by clamping speeds to the
     static plan bound (the same planner contract as min_speed_bound).
     n_valid_rows [B]: blocks entirely past it are skipped (no DMA);

@@ -62,6 +62,11 @@ def batched_analysis(
             return a
         return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
 
+    if T_out == 0:
+        # Clip shorter than the tension lookahead: no tension frames exist
+        # (the shim drains such audio at the requested speed on flush).
+        return jnp.zeros((B, 0), dtype)
+
     xs = c(xs, P("dp", None))
     starts = jnp.asarray(framing.frame_starts(cfg, T, integer_step=True))
     step = cfg.frame_step_int
@@ -105,6 +110,8 @@ def batched_analysis(
     # jnp.take(t_idx + i) would produce.
     future_max = jnp.zeros((B, T_out), dtype)
     for i in range(fut + 1):
+        if i >= T:  # whole window past the signal: zero contribution
+            continue
         taper = (fut - i) / float(fut)
         sl = jax.lax.slice_in_dim(energy_compressed, i, min(i + T_out, T), axis=1)
         if sl.shape[1] < T_out:
@@ -115,6 +122,8 @@ def batched_analysis(
     past = cfg.hysteresis_past
     past_max = jnp.zeros((B, T_out), dtype)
     for i in range(past + 1):
+        if i >= T_out:  # shift exceeds the output: zero contribution
+            continue
         taper = (past - i) / float(past)
         sl = jax.lax.slice_in_dim(energy_compressed, 0, T_out - i, axis=1)
         sl = jnp.concatenate([jnp.zeros((B, i), dtype), sl], axis=1)
@@ -152,6 +161,27 @@ def batched_analysis(
         changes - C.TENSION_M_S
     )
     return c(tension, P("dp", None))
+
+
+def _plan_max_speed(global_speed: float, nonlinear_factor: float) -> float:
+    """Planner ceiling on instantaneous speed (the analog of
+    min_speed_bound): sizes the block-span gather's static span width and
+    clamps speeds to it inside the grid engine.
+
+    The law bounds the requested speed at 1.6*R_g - 0.6 for R_g > 1
+    (tension >= -0.6) and at 1.0 for R_g <= 1; +1.0 covers the duration-
+    feedback correction (fb*excess stays well under that for the
+    reference's fb <= 0.4 on convergent inputs — pathological inputs hit
+    the clamp, a documented planner contract, not an error). The shim's
+    nonlinear interpolation final = req*nl + R_g*(1-nl) can EXCEED req
+    when nl > 1, so the bound is mapped through it. Quantized to 0.5
+    steps so sweeping rates reuses compiled programs (remote TPU compiles
+    run minutes; CLAUDE.md)."""
+    rg = float(global_speed)
+    nl = float(nonlinear_factor)
+    req_max = 1.6 * rg - 0.6 + 1.0 if rg > 1.0 else 2.0
+    final_max = max(req_max * nl + rg * (1.0 - nl), req_max, rg, 2.0)
+    return float(np.ceil(final_max * 2.0) / 2.0)
 
 
 def _mask_speeds(speeds: jnp.ndarray, valid_tension: jnp.ndarray) -> jnp.ndarray:
@@ -196,7 +226,11 @@ def batched_nonlinear_speedup(
         steps = num_steps
 
     tension = batched_analysis(xs, cfg, T, mesh)
-    if global_speed > 1.0:
+    if tension.shape[1] == 0:
+        # Entire batch shorter than the tension lookahead: every frame
+        # drains at the requested speed (the shim's flush behavior).
+        speeds = jnp.full((B, 1), global_speed, xs.dtype)
+    elif global_speed > 1.0:
         # Parallel fixed-point form (contraction only holds for rg > 1).
         speeds = speed_from_tension_parallel(
             tension, global_speed, duration_feedback_strength, nonlinear_factor
@@ -209,7 +243,9 @@ def batched_nonlinear_speedup(
         )(tension)
 
     valid_frames = jnp.where(lengths >= W, (lengths - W) // step + 1, 0)
-    valid_tension = jnp.maximum(valid_frames - fut, 0)
+    valid_tension = jnp.minimum(
+        jnp.maximum(valid_frames - fut, 0), speeds.shape[1]
+    )
     speeds = jax.vmap(_mask_speeds)(speeds, valid_tension)
     # Utterances too short for any tension frame run at the global speed.
     speeds = jnp.where(
@@ -226,10 +262,8 @@ def batched_nonlinear_speedup(
         hop, gcap, K = wsola_fast.plan_grid(cfg, L, min_speed_bound)
         if capacity is not None:
             gcap, K = capacity, capacity // hop + 1
-        # Ceiling analog of min_speed_bound: the law bounds speeds at
-        # 1.6*R_g - 0.6 (tension >= -0.6); the margin covers duration
-        # feedback. Enables the block-span gather (one DMA per 128 rows).
-        max_speed_plan = 1.6 * global_speed + 1.0 if global_speed > 1.0 else 2.0
+        # Enables the block-span gather (one DMA per 128 rows).
+        max_speed_plan = _plan_max_speed(global_speed, nonlinear_factor)
         out = wsola_fast._wsola_grid_batch(
             xs, lengths.astype(jnp.int32), speeds, minp, maxp, step, hop,
             gcap, K, max_speed_plan=max_speed_plan,
@@ -303,7 +337,9 @@ def batched_nonlinear_speedup_multichannel(
     minp, maxp, _, _ = wsola.plan(cfg, L, min_speed_bound)
 
     tension = batched_analysis(mono, cfg, T, mesh)
-    if global_speed > 1.0:
+    if tension.shape[1] == 0:
+        speeds = jnp.full((B, 1), global_speed, mono.dtype)
+    elif global_speed > 1.0:
         speeds = speed_from_tension_parallel(
             tension, global_speed, duration_feedback_strength, nonlinear_factor
         )
@@ -314,14 +350,16 @@ def batched_nonlinear_speedup_multichannel(
             )
         )(tension)
     valid_frames = jnp.where(lengths >= W, (lengths - W) // step + 1, 0)
-    valid_tension = jnp.maximum(valid_frames - fut, 0)
+    valid_tension = jnp.minimum(
+        jnp.maximum(valid_frames - fut, 0), speeds.shape[1]
+    )
     speeds = jax.vmap(_mask_speeds)(speeds, valid_tension)
     speeds = jnp.where(
         (valid_tension > 0)[:, None], speeds, jnp.asarray(global_speed, mono.dtype)
     )
     speeds = jnp.maximum(speeds, jnp.asarray(min_speed_bound, mono.dtype))
     hop, gcap, K = wsola_fast.plan_grid(cfg, L, min_speed_bound)
-    max_speed_plan = 1.6 * global_speed + 1.0 if global_speed > 1.0 else 2.0
+    max_speed_plan = _plan_max_speed(global_speed, nonlinear_factor)
     out = wsola_fast._wsola_grid_batch(
         mono,
         lengths.astype(jnp.int32),

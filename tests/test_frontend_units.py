@@ -291,3 +291,27 @@ def test_analysis_is_jittable_and_vmappable():
     out = fn(jnp.asarray(x))
     assert out.shape == (4, T - cfg.hysteresis_future)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_batched_analysis_short_utterance():
+    """Short clips where T_out < hysteresis window sizes must not crash
+    (regression: the static-slice hysteresis rewrite produced negative
+    slice limits for T_out < past)."""
+    import jax.numpy as jnp
+
+    from speedy_tpu.parallel.batch import batched_analysis, batched_nonlinear_speedup
+
+    for sr, L in ((22050, 4096), (16000, 3000), (16000, 1200)):
+        cfg = SpeedyConfig(sr)
+        T = cfg.num_frames(L, integer_step=True)
+        if T <= 0:
+            continue
+        xs = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, L)).astype(np.float32)
+        ) * 0.1
+        tension = batched_analysis(xs, cfg, T)
+        assert np.isfinite(np.asarray(tension)).all()
+        out = batched_nonlinear_speedup(
+            xs, jnp.asarray(np.full((2,), L, np.int32)), cfg, 3.0, 1.0, 0.1
+        )
+        assert np.asarray(out.valid_length).min() >= 0

@@ -64,3 +64,47 @@ def test_gather_rows_pipelined_on_tpu():
     got = gather_rows_pipelined(x, starts, W)
     ref = gather_rows_reference(x, starts, W)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_gather_rows_block_on_tpu():
+    """Block-span kernel (the production synthesis gather): exact vs the
+    reference, including valid-row skipping and the 22.05 kHz width."""
+    from speedy_tpu.ops.pallas_kernels import gather_rows_block_pallas
+
+    rng = np.random.default_rng(4)
+    for width in (321, 443):
+        B, K, L = 4, 300, 170000
+        x = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+        steps = rng.integers(0, 1100, size=(B, K))
+        starts = jnp.asarray(
+            np.minimum(np.cumsum(steps, axis=1), L - width - 1).astype(np.int32)
+        )
+        R = 128
+        w_span = -(-((R - 1) * 1100 + width + 32) // 1024) * 1024
+        ref = np.asarray(gather_rows_reference(x, starts, width))
+        got = np.asarray(gather_rows_block_pallas(x, starts, width, R, w_span))
+        np.testing.assert_array_equal(ref, got)
+        nv = jnp.asarray(np.array([300, 100, 20, 1], np.int32))
+        got_v = np.asarray(
+            gather_rows_block_pallas(x, starts, width, R, w_span, nv)
+        )
+        for b in range(B):
+            np.testing.assert_array_equal(
+                ref[b, : int(nv[b])], got_v[b, : int(nv[b])]
+            )
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_gather_rows_n_valid_skip_on_tpu():
+    from speedy_tpu.ops.pallas_kernels import gather_rows
+
+    rng = np.random.default_rng(5)
+    B, K, W, L = 4, 96, 321, 30000
+    x = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    starts = jnp.asarray(rng.integers(0, L - W, size=(B, K)).astype(np.int32))
+    nv = jnp.asarray(np.array([96, 17, 0, 50], np.int32))
+    ref = np.asarray(gather_rows_reference(x, starts, W))
+    got = np.asarray(jax.jit(lambda x, s, n: gather_rows(x, s, W, n))(x, starts, nv))
+    for b in range(B):
+        np.testing.assert_array_equal(ref[b, : int(nv[b])], got[b, : int(nv[b])])

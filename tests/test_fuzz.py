@@ -77,3 +77,81 @@ def test_fuzz_streaming_chunkings(seed):
     got = run(sizes)
     assert len(got) == len(ref)
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_batch_engine_extreme_rates(seed):
+    """Batch engine (span-gather mode) at extreme global rates and mixed
+    lengths: the speed-plan clamp and span bounds must hold, outputs stay
+    finite, lengths track the requested rate."""
+    import jax.numpy as jnp
+
+    from speedy_tpu.parallel.batch import batched_nonlinear_speedup
+
+    rng = np.random.default_rng(100 + seed)
+    sr = int(rng.choice([16000, 22050]))
+    cfg = SpeedyConfig(sr)
+    B = 3
+    L = int(rng.integers(sr, 3 * sr))
+    xs = np.zeros((B, L), np.float32)
+    lengths = np.zeros((B,), np.int32)
+    for b in range(B):
+        n = int(rng.integers(cfg.window_size + 1, L))
+        t = np.arange(n) / sr
+        xs[b, :n] = (
+            0.4 * np.sin(2 * np.pi * rng.uniform(100, 300) * t)
+            * np.clip(np.sin(2 * np.pi * rng.uniform(1, 4) * t), 0, None)
+        )
+        lengths[b] = n
+    speed = float(rng.choice([1.2, 4.0, 6.3, 8.0]))
+    nl = float(rng.choice([0.5, 1.0, 2.0]))
+    out = batched_nonlinear_speedup(
+        jnp.asarray(xs), jnp.asarray(lengths), cfg, speed, nl, 0.1
+    )
+    y = np.asarray(out.output)
+    v = np.asarray(out.valid_length)
+    assert np.isfinite(y).all()
+    for b in range(B):
+        if lengths[b] > 4 * cfg.window_size:
+            achieved = lengths[b] / max(v[b], 1)
+            assert 0.3 * speed < achieved < 3.0 * speed + 1, (speed, achieved)
+        assert np.all(y[b, v[b]:] == 0.0)
+
+
+def test_fuzz_multichannel_matches_mono():
+    """Multichannel batch: identical channels must match the mono path
+    exactly, and differing channels stay finite with mono-derived timing."""
+    import jax.numpy as jnp
+
+    from speedy_tpu.parallel.batch import (
+        batched_nonlinear_speedup,
+        batched_nonlinear_speedup_multichannel,
+    )
+
+    rng = np.random.default_rng(7)
+    sr = 16000
+    cfg = SpeedyConfig(sr)
+    B, L, C = 2, 2 * sr, 2
+    t = np.arange(L) / sr
+    mono = np.stack(
+        [
+            (0.4 * np.sin(2 * np.pi * (120 + 40 * b) * t)
+             * np.clip(np.sin(2 * np.pi * 2.5 * t), 0, None)).astype(np.float32)
+            for b in range(B)
+        ]
+    )
+    xs = np.repeat(mono[:, :, None], C, axis=2)
+    lengths = jnp.asarray(np.full((B,), L, np.int32))
+    r_mc = batched_nonlinear_speedup_multichannel(
+        jnp.asarray(xs), lengths, cfg, 3.0, 1.0, 0.1
+    )
+    r_mono = batched_nonlinear_speedup(
+        jnp.asarray(mono), lengths, cfg, 3.0, 1.0, 0.1
+    )
+    v = np.asarray(r_mono.valid_length)
+    assert np.array_equal(v, np.asarray(r_mc.valid_length))
+    y_mc = np.asarray(r_mc.output)
+    y_mono = np.asarray(r_mono.output)
+    for b in range(B):
+        for ch in range(C):
+            np.testing.assert_array_equal(y_mc[b, ch, : v[b]], y_mono[b, : v[b]])

@@ -77,8 +77,12 @@ def _pitch_corr_matrices(
 
     The linear cross-correlation cc[l] = sum_i a0[i]*seg[i+l] (l in
     [minp, maxp]) equals the M-point circular correlation when
-    M >= seg_w + taps (no wraparound on lags 0..maxp), and a real DFT of
-    length M is a pair of [len, 2*(M/2+1)] matmuls — the same
+    M >= max(seg_w, taps + maxp): the largest seg index touched is
+    (taps-1) + maxp, so no product wraps around, and the forward DFT
+    just needs M >= seg_w to hold the zero-padded window. (M >= seg_w +
+    taps — the classic full-linear-convolution bound — is NOT required:
+    only lags [minp, maxp] are read, never the aliased negative lags.)
+    A real DFT of length M is a pair of [len, 2*(M/2+1)] matmuls — the same
     DFT-as-matmul trick as the front-end spectrogram (ops/dft.py), chosen
     because XLA's TPU FFT lowering runs ~7x slower than the MXU on these
     shapes (measured 67 ms vs 10 ms per production batch).
@@ -90,7 +94,7 @@ def _pitch_corr_matrices(
       [e_lag | e0] = seg^2 @ Band               (windowed energies; replaces
                                                  the cumsum+slice form)
     """
-    assert M >= seg_w + taps
+    assert M >= max(seg_w, taps + maxp)
     nb = M // 2 + 1
     n_lags = maxp - minp + 1
     n = np.arange(M, dtype=np.float64)
@@ -347,7 +351,7 @@ def _wsola_grid_batch(
         template = first a_taps samples, as DFT matmuls on the MXU (see
         _pitch_corr_matrices) — XLA's TPU FFT lowering is ~7x slower."""
         w = seg_c.shape[-1]
-        M = -(-(w + a_taps) // 128) * 128
+        M = -(-max(w, a_taps + lag_hi) // 128) * 128
         nb = M // 2 + 1
         nl = lag_hi - lag_lo + 1
         mats = _pitch_corr_matrices(

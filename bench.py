@@ -12,11 +12,15 @@ Measurement notes (relayed TPU backend):
     iteration gets a DISTINCT pre-staged input and the wall-clock window
     closes only after a device-computed checksum of EVERY iteration's
     output has been fetched to the host.
-  * Steady-state throughput is measured by issuing all iterations
-    back-to-back (as a production pipeline would) so the ~23 ms relay
-    round-trip latency is paid once per window, not once per step; inputs
-    are staged on device before the window opens. SPEEDY_BENCH_SERIAL=1
-    restores the one-step-at-a-time latency measurement.
+  * Steady-state throughput is measured by running all iterations inside
+    ONE dispatched program (lax.scan over a stacked [iters, B, L] input,
+    one checksum per iteration) — the relay charges a ~28 ms host issue
+    cost PER EXECUTE CALL that does not pipeline across calls and hides
+    device times below it (measured: a noop costs the same as the full
+    step when dispatched per-step). A production server feeds the device
+    continuously, so the sustained rate is the device rate, which only a
+    single-dispatch window measures. SPEEDY_BENCH_SERIAL=1 restores the
+    one-step-at-a-time latency measurement (includes per-call dispatch).
 """
 
 import json
@@ -40,7 +44,10 @@ def main():
     L = int(sample_rate * seconds)
     n_dev = jax.device_count()
     B = int(os.environ.get("SPEEDY_BENCH_BATCH", "128")) * max(n_dev, 1)
-    iters = int(os.environ.get("SPEEDY_BENCH_ITERS", "8"))
+    # 32 iterations per dispatched window: the relay charges a fixed
+    # ~30 ms floor PER EXECUTE (independent of program size — measured on
+    # noop programs), so per-step cost = floor/iters + device step time.
+    iters = int(os.environ.get("SPEEDY_BENCH_ITERS", "32"))
     serial = os.environ.get("SPEEDY_BENCH_SERIAL", "0") == "1"
 
     # Speech-like test signal: pitch-modulated harmonics with syllabic
@@ -68,9 +75,12 @@ def main():
     step_fn = jax.jit(fn)
     lengths = jnp.asarray(np.full((B,), L, np.int32))
 
-    def fresh():
+    def fresh_np():
         amp = rng.uniform(0.5, 1.0, size=(B, 1)).astype(np.float32)
-        return jnp.asarray(np.tile(base, (B, 1)) * amp)
+        return np.tile(base, (B, 1)) * amp
+
+    def fresh():
+        return jnp.asarray(fresh_np())
 
     # Warmup / compile.
     s, v = step_fn(fresh(), lengths)
@@ -87,20 +97,44 @@ def main():
             times.append(time.perf_counter() - t0)
         dt = min(times)
     else:
-        # Steady-state: distinct inputs staged on device, all steps issued
-        # back-to-back, every checksum fetched before the window closes.
-        # Each timing window gets its OWN fresh inputs — re-running the
-        # same device buffers would let the relay result-cache serve the
-        # second window instantly and min() would pick the bogus one.
-        windows = [[fresh() for _ in range(iters)] for _ in range(2)]
-        for inputs in windows:
-            for xs in inputs:
-                float(jnp.sum(xs))
+        # Steady-state: distinct inputs stacked on device, ONE dispatch
+        # scanning all iterations, every per-iteration checksum fetched
+        # before the window closes. Each timing window gets its OWN fresh
+        # inputs — re-running the same device buffers would let the relay
+        # result-cache serve the second window instantly and min() would
+        # pick the bogus one.
+        # Inputs are built ON DEVICE from the staged base signal and
+        # per-iteration amplitude vectors (a [B, L] broadcast-multiply per
+        # step, counted against us): shipping 2 windows x iters x B x L
+        # floats through the relay costs minutes of wall clock and the
+        # dispatch floor is byte-independent anyway. Every iteration still
+        # sees a DISTINCT input and yields a distinct fetched checksum.
+        base_d = jnp.asarray(base)
+
+        def scan_fn(amps, lens):
+            def body(_, amp):
+                xs = base_d[None, :] * amp
+                s, v = fn(xs, lens)
+                return 0, s
+            _, sums = jax.lax.scan(body, 0, amps)
+            return sums
+
+        scan_jit = jax.jit(scan_fn)
+
+        def fresh_amps():
+            return jnp.asarray(
+                rng.uniform(0.5, 1.0, size=(iters, B, 1)).astype(np.float32)
+            )
+
+        float(jnp.sum(scan_jit(fresh_amps(), lengths)))  # compile
+        windows = [fresh_amps() for _ in range(2)]
+        for amps in windows:
+            float(jnp.sum(amps))
         best = None
-        for inputs in windows:
+        for amps in windows:
             t0 = time.perf_counter()
-            outs = [step_fn(xs, lengths) for xs in inputs]
-            checksums = [float(s) for s, v in outs]
+            sums = scan_jit(amps, lengths)
+            checksums = [float(s) for s in np.asarray(sums)]
             dt_total = time.perf_counter() - t0
             assert len(set(checksums)) == iters, "distinct inputs, equal sums?"
             best = dt_total if best is None else min(best, dt_total)

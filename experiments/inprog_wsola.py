@@ -20,13 +20,9 @@ def wso(xs, l):
     sp = jnp.full((B, T), 3.51, dtype)
     return jnp.sum(wsola_fast._wsola_grid_batch(xs, l, sp, minp, maxp, frame_step, hop, gcap, K).output)
 
-# pieces, replicated at identical shapes
-seg_w = taps + maxp; G = Hs
-n_lags = maxp - minp + 1
-M = -(-(seg_w+taps)//128)*128; nb = M//2+1
-mats = _pitch_corr_matrices(taps, seg_w, minp, maxp, M)
-Ea, Es, Inv, Band = (jnp.asarray(m) for m in mats)
-GSEG=128
+# pieces, replicated at identical (CURRENT production) shapes
+from speedy_tpu.ops.wsola_fast import _PITCH_PRECISION
+seg_w = taps + maxp; G = 2*Hs  # 20 ms pitch grid, as in _wsola_grid_batch
 
 def pitch_extra(xs):
     x_pad = jnp.concatenate([jnp.zeros((B,pad_front),dtype), xs, jnp.zeros((B, 2*maxp+taps+Wn),dtype)],axis=1)
@@ -35,26 +31,26 @@ def pitch_extra(xs):
     n_grid=n_cells-m_strides+1
     y=x_pad[:,pad_front:pad_front+n_cells*G].reshape(B,n_cells,G)
     seg=jnp.concatenate([y[:,j:j+n_grid] for j in range(m_strides)],axis=-1)[:,:,:seg_w]
-    def pitch_of(seg_c):
-        a0 = seg_c[:,:,:taps]
-        hi=jax.lax.Precision.HIGHEST
-        FA=jnp.einsum("bgt,tk->bgk",a0,Ea,precision=hi)
-        FS=jnp.einsum("bgt,tk->bgk",seg_c,Es,precision=hi)
-        AR,AI=FA[...,:nb],FA[...,nb:]; SR_,SI=FS[...,:nb],FS[...,nb:]
-        prod=jnp.concatenate([AR*SR_+AI*SI, AR*SI-AI*SR_],axis=-1)
-        cc=jnp.einsum("bgk,kl->bgl",prod,Inv,precision=hi)
-        E=jnp.einsum("bgt,tl->bgl",seg_c*seg_c,Band,precision=hi)
-        ssd=E[...,n_lags:]+E[...,:n_lags]-2.0*cc
-        jmin=jnp.argmin(ssd,axis=-1); jc=jnp.clip(jmin,1,n_lags-2)
-        take=lambda off: jnp.take_along_axis(ssd,(jc+off)[...,None],axis=2)[...,0]
-        l_,m_,r_=take(-1),take(0),take(1)
-        den=l_-2*m_+r_
-        frac=jnp.where(jnp.abs(den)>1e-12,0.5*(l_-r_)/den,0.0)
-        return (minp+jc).astype(dtype)+jnp.clip(frac,-0.5,0.5)
-    n_gpad=-(-n_grid//GSEG)*GSEG
-    seg_p=jnp.concatenate([seg,jnp.zeros((B,n_gpad-n_grid,seg_w),dtype)],axis=1)
-    seg_p=seg_p.reshape(B,n_gpad//GSEG,GSEG,seg_w).transpose(1,0,2,3)
-    pg=jax.lax.map(pitch_of,seg_p)
+    ssd = wsola_fast._wsola_grid_batch.__wrapped__.__globals__  # noqa: unused (keep import graph obvious)
+    # replicate ssd_matmul + parabolic_min at production shapes
+    w = seg.shape[-1]
+    M = -(-max(w, taps + maxp)//128)*128; nb = M//2+1; n_lags = maxp-minp+1
+    Ea, Es, Inv, Band = (jnp.asarray(m) for m in _pitch_corr_matrices(taps, w, minp, maxp, M))
+    a0 = seg[..., :taps]
+    prec=_PITCH_PRECISION
+    FA=jnp.einsum("bgt,tk->bgk",a0,Ea,precision=prec)
+    FS=jnp.einsum("bgt,tk->bgk",seg,Es,precision=prec)
+    AR,AI=FA[...,:nb],FA[...,nb:]; SR_,SI=FS[...,:nb],FS[...,nb:]
+    prod=jnp.concatenate([AR*SR_+AI*SI, AR*SI-AI*SR_],axis=-1)
+    cc=jnp.einsum("bgk,kl->bgl",prod,Inv,precision=prec)
+    E=jnp.einsum("bgt,tl->bgl",seg*seg,Band,precision=prec)
+    ssd=E[...,n_lags:]+E[...,:n_lags]-2.0*cc
+    jmin=jnp.argmin(ssd,axis=-1); jc=jnp.clip(jmin,1,n_lags-2)
+    take=lambda off: jnp.take_along_axis(ssd,(jc+off)[...,None],axis=2)[...,0]
+    l_,m_,r_=take(-1),take(0),take(1)
+    den=l_-2*m_+r_
+    frac=jnp.where(jnp.abs(den)>1e-12,0.5*(l_-r_)/den,0.0)
+    pg=(minp+jc).astype(dtype)+jnp.clip(frac,-0.5,0.5)
     return jnp.sum(pg)
 
 def gather_extra(xs):

@@ -19,6 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -286,6 +287,279 @@ def gather_rows_pipelined(x: jnp.ndarray, starts: jnp.ndarray, width: int):
         grid_spec=grid_spec,
     )(starts, flat.reshape(-1, 128))
     return out.reshape(B, K, wsubs * 128)[:, :, :width]
+
+
+def _gather_synth_kernel(
+    NB,
+    R,
+    w_rows,
+    nt,
+    ts,
+    hop,
+    length_rows,
+    nvb_ref,
+    bases_ref,
+    q8k_ref,
+    r7k_ref,
+    af_ref,
+    win_ref,
+    x_ref,
+    out_ref,
+    scratch,
+    carr,
+    sems,
+):
+    """Fused WSOLA synthesis: block-span gather + fractional-delay interp +
+    Hann window + half-slot OLA, emitting final hop-sample SLOTS.
+
+    The separate gather kernel + XLA interp/OLA pipeline moves ~1.1 GB/step
+    through HBM at production shapes (padded row buffer written, re-sliced,
+    re-read by the interp pass); everything here happens on the in-VMEM
+    slab instead and only the [ts*R, 128] slot tiles leave the core.
+
+    One grid program per batch row; the NB block loop is unrolled inside
+    (8x fewer grid programs — measured ~3.7 us fixed cost per program) with
+    double-buffered span DMAs. Slabs are T-MAJOR (row t*R + r holds tile t
+    of output row r) so the ts slot tiles are a CONTIGUOUS leading slice:
+      1. one-hot [R*nt, w_rows] @ span — tile select on the MXU (exact),
+      2. 7-step barrel shift by the 0..127 lane residual (cross-tile carry
+         = +R sublanes in t-major),
+      3. fractional interp: raw = slab*(1-af) + (slab<<1)*af,
+      4. per-tile window multiply (win prefetched, sublane-broadcast),
+      5. OLA: slots = firsts + prev_row(seconds<<hop); the cross-row
+         dependency is a +1 sublane roll, block boundaries carried in a
+         scratch register across the unrolled loop; global row 0 is the
+         reference's unwindowed slot.
+    Blocks past nvb are skipped (garbage out, caller masks).
+    """
+    b = pl.program_id(0)
+    nvb = nvb_ref[b]
+    TOT = R * nt
+    ST = R * ts
+
+    def start_dma(nb, slot):
+        s = b * length_rows + bases_ref[b, nb]
+        row = pl.multiple_of(s, 8)
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(row, w_rows), :], scratch.at[slot], sems.at[slot]
+        ).start()
+
+    @pl.when(0 < nvb)
+    def _():
+        start_dma(0, 0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TOT, 128), 1)
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (ST, 128), 0)
+    first_row = (sub2 & (R - 1)) == 0  # R is a power of two
+
+    def bcast_rows(src, rows):
+        """src[rows[t]] broadcast to sublane range [t*R, (t+1)*R)."""
+        ce = jnp.broadcast_to(src[rows[ts - 1] : rows[ts - 1] + 1, :], (ST, 128))
+        for t in range(ts - 2, -1, -1):
+            ce = jnp.where(
+                sub2 < (t + 1) * R,
+                jnp.broadcast_to(src[rows[t] : rows[t] + 1, :], (ST, 128)),
+                ce,
+            )
+        return ce
+
+    for nb in range(NB):
+        slot = nb % 2
+
+        @pl.when(nb + 1 < nvb)
+        def _():
+            start_dma(nb + 1, (nb + 1) % 2)
+
+        @pl.when(nb < nvb)
+        def _():
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(0, w_rows), :], scratch.at[slot], sems.at[slot]
+            ).wait()
+            sp = scratch[slot]
+            q8k = q8k_ref[0, nb, :, :]  # [TOT, 1] t-major tile indices
+            r7k = r7k_ref[0, nb, :, :]  # [TOT, 1] 0..127 lane residuals
+            af = af_ref[0, nb, :, :]  # [TOT, 1] fractional delays
+            iota_rows = jax.lax.broadcasted_iota(jnp.int32, (TOT, w_rows), 1)
+            onehot = (iota_rows == q8k).astype(sp.dtype)
+            slab = jnp.dot(
+                onehot,
+                sp,
+                preferred_element_type=sp.dtype,
+                precision=jax.lax.Precision.HIGHEST,  # one-hot @ f32 exact
+            )
+            for bit in range(7):
+                sh = 1 << bit
+                cur = pltpu.roll(slab, 128 - sh, 1)
+                nxt = pltpu.roll(pltpu.roll(slab, TOT - R, 0), 128 - sh, 1)
+                shifted = jnp.where(lane < 128 - sh, cur, nxt)
+                slab = jnp.where((r7k & sh) != 0, shifted, slab)
+            # raw[i] = slab[i]*(1-af) + slab[i+1]*af (one more 1-lane shift)
+            cur = pltpu.roll(slab, 127, 1)
+            nxt = pltpu.roll(pltpu.roll(slab, TOT - R, 0), 127, 1)
+            s1 = jnp.where(lane < 127, cur, nxt)
+            raw = slab * (1.0 - af) + s1 * af
+            raw_w = jnp.concatenate(
+                [
+                    raw[t * R : (t + 1) * R]
+                    * jnp.broadcast_to(win_ref[t : t + 1, :], (R, 128))
+                    for t in range(nt)
+                ],
+                axis=0,
+            )
+            # seconds << hop samples = q tiles (+R sublanes each) + rr lanes
+            q, rr = hop // 128, hop % 128
+            a1 = pltpu.roll(raw_w, TOT - q * R, 0) if q else raw_w
+            if rr:
+                cur = pltpu.roll(a1, 128 - rr, 1)
+                nxt = pltpu.roll(pltpu.roll(a1, TOT - R, 0), 128 - rr, 1)
+                sec = jnp.where(lane < 128 - rr, cur, nxt)
+            else:
+                sec = a1
+            F = raw_w[:ST]
+            S = sec[:ST]
+            prev = pltpu.roll(S, 1, 0)  # row i reads row i-1 (same tile)
+            ce = bcast_rows(carr, [t for t in range(ts)])
+            prev = jnp.where(first_row, ce, prev)
+            slots = F + prev
+            if nb == 0:
+                # Global slot 0: unwindowed raw, no blend partner
+                # (wsola_fast.synth / the reference's first chunk).
+                r0 = bcast_rows(raw, [t * R for t in range(ts)])
+                slots = jnp.where(first_row, r0, slots)
+            out_ref[0, nb, :, :] = slots
+            for t in range(ts):
+                carr[t : t + 1, :] = S[t * R + R - 1 : t * R + R, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hop", "width", "rows_per_block", "w_span", "interpret"),
+)
+def gather_synth_block_pallas(
+    x: jnp.ndarray,
+    starts: jnp.ndarray,
+    af: jnp.ndarray,
+    hop: int,
+    width: int,
+    rows_per_block: int,
+    w_span: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused WSOLA synthesis tail: x[B, L], near-monotone starts[B, K],
+    fractional delays af[B, K] -> OLA slots [B, K, hop] (slot k =
+    windowed-interpolated chunk k's first hop samples + chunk k-1's last;
+    slot 0 unwindowed). width must be 2*hop + 1. Same span/validity
+    contract as gather_rows_block_pallas; rows at/after n_valid garbage.
+    """
+    assert width == 2 * hop + 1
+    B, L = x.shape
+    K = starts.shape[1]
+    R = rows_per_block
+    assert R & (R - 1) == 0, "rows_per_block must be a power of two"
+    NB = -(-K // R)
+    if NB * R != K:
+        pad = NB * R - K
+        starts = jnp.concatenate(
+            [starts, jnp.tile(starts[:, -1:], (1, pad))], axis=1
+        )
+        af = jnp.concatenate([af, jnp.zeros((B, pad), af.dtype)], axis=1)
+    nt = (width + 127) // 128 + 1  # tiles per row incl. shift headroom
+    ts = (hop + 127) // 128  # slot tiles per row
+    s2 = starts.reshape(B, NB, R)
+    base = jnp.min(s2, axis=2)
+    base_al = (base // 1024) * 1024
+    offs = (s2 - base_al[:, :, None]).astype(jnp.int32)
+    q8 = offs // 128
+    r7 = offs - q8 * 128
+    ktile = jnp.arange(nt, dtype=jnp.int32)
+    # T-major: row t*R + r of the slab is tile t of output row r.
+    q8k = (q8[:, :, None, :] + ktile[None, None, :, None]).reshape(
+        B, NB, nt * R, 1
+    )
+    r7k = jnp.broadcast_to(r7[:, :, None, :], (B, NB, nt, R)).reshape(
+        B, NB, nt * R, 1
+    )
+    af_tm = jnp.broadcast_to(
+        af.reshape(B, NB, R)[:, :, None, :], (B, NB, nt, R)
+    ).reshape(B, NB, nt * R, 1)
+    nvb = (
+        jnp.full((B,), NB, jnp.int32)
+        if n_valid is None
+        else jnp.minimum(-(-n_valid // R), NB).astype(jnp.int32)
+    )
+
+    from .wsola_fast import _cola_hann  # COLA window, host-exact
+
+    win_rows = max(8, nt)
+    win_np = _cola_hann(2 * hop, str(np.dtype(x.dtype)))
+    win_pad = np.zeros((win_rows * 128,), win_np.dtype)
+    win_pad[: 2 * hop] = win_np
+    win2 = jnp.asarray(win_pad.reshape(win_rows, 128))
+
+    w_rows = -(-((w_span + 1024) // 128 + nt + 8) // 8) * 8
+    Lp = -(-L // 1024) * 1024
+    xp = x if Lp == L else jnp.concatenate(
+        [x, jnp.zeros((B, Lp - L), x.dtype)], axis=1
+    )
+    flat = jnp.concatenate([xp.reshape(-1), jnp.zeros((w_rows + 8) * 128, x.dtype)])
+    x2 = flat.reshape(-1, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, NB, R * nt, 1), lambda b, *_: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, NB, R * nt, 1), lambda b, *_: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, NB, R * nt, 1), lambda b, *_: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (win_rows, 128), lambda b, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, NB, R * ts, 128), lambda b, *_: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, w_rows, 128), x.dtype),
+            pltpu.VMEM((8, 128), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _gather_synth_kernel, NB, R, w_rows, nt, ts, hop, Lp // 128
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, NB, R * ts, 128), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        # The unrolled NB loop keeps several [R*nt, 128] slab temporaries
+        # live on Mosaic's scoped-VMEM stack; the 16 MB default is a bit
+        # short at NB=8 production shapes.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )(nvb, (base_al // 128).astype(jnp.int32), q8k, r7k, af_tm, win2, x2)
+    # T-major slot tiles -> [B, K, hop] without a transpose pass: slice
+    # each tile's used lanes and concatenate along the sample axis.
+    o = out.reshape(B, NB, ts, R, 128)
+    pieces = [
+        o[:, :, t, :, : min(128, hop - t * 128)] for t in range(ts)
+    ]
+    slots = jnp.concatenate(pieces, axis=-1) if ts > 1 else pieces[0][..., :hop]
+    return slots.reshape(B, NB * R, hop)[:, :K]
 
 
 def _gather_block_kernel(

@@ -422,25 +422,39 @@ def _wsola_grid_batch(
         # Rows whose output slot is past valid_s contribute nothing the
         # capacity mask keeps; skip their DMAs.
         valid_rows = jnp.minimum(valid_s // Hs + 2, K)
-        if w_span is None:
-            wide = _gather_rows(src_pad, a_i_s + pad_front, Wn + 1, valid_rows)
+        if w_span is not None and jax.default_backend() == "tpu":
+            # Fused kernel: span gather + interp + window + OLA in VMEM,
+            # emitting final slots — the separate gather + XLA interp
+            # pipeline moves ~1.1 GB/step of HBM padding at these shapes.
+            from .pallas_kernels import gather_synth_block_pallas
+
+            slots = gather_synth_block_pallas(
+                src_pad, a_i_s + pad_front, a_f_s, Hs, Wn + 1,
+                span_rows, w_span, valid_rows,
+            )  # [N, K, Hs]
+            out_full = slots.reshape(n, K * Hs)
         else:
-            # Block-span gather: one span DMA per 128 rows + lane-
-            # parallel in-VMEM extraction (gather_rows_block_pallas).
-            wide = _gather_rows_spans(
-                src_pad, a_i_s + pad_front, Wn + 1, span_rows, w_span,
-                valid_rows,
-            )  # [N, K, Wn+1]
-        af = a_f_s[:, :, None]
-        raw = wide[:, :, :-1] * (1.0 - af) + wide[:, :, 1:] * af
-        rows = raw * win[None, None, :]
-        firsts = rows[:, :, :Hs]
-        seconds = rows[:, :, Hs:]
-        slots = firsts + jnp.concatenate(
-            [jnp.zeros((n, 1, Hs), dtype), seconds[:, :-1]], axis=1
-        )
-        slots = jnp.concatenate([raw[:, :1, :Hs], slots[:, 1:]], axis=1)
-        out_full = slots.reshape(n, K * Hs)  # plan: K*Hs >= capacity
+            if w_span is None:
+                wide = _gather_rows(
+                    src_pad, a_i_s + pad_front, Wn + 1, valid_rows
+                )
+            else:
+                # Block-span gather: one span DMA per 128 rows + lane-
+                # parallel in-VMEM extraction.
+                wide = _gather_rows_spans(
+                    src_pad, a_i_s + pad_front, Wn + 1, span_rows, w_span,
+                    valid_rows,
+                )  # [N, K, Wn+1]
+            af = a_f_s[:, :, None]
+            raw = wide[:, :, :-1] * (1.0 - af) + wide[:, :, 1:] * af
+            rows = raw * win[None, None, :]
+            firsts = rows[:, :, :Hs]
+            seconds = rows[:, :, Hs:]
+            slots = firsts + jnp.concatenate(
+                [jnp.zeros((n, 1, Hs), dtype), seconds[:, :-1]], axis=1
+            )
+            slots = jnp.concatenate([raw[:, :1, :Hs], slots[:, 1:]], axis=1)
+            out_full = slots.reshape(n, K * Hs)  # plan: K*Hs >= capacity
         idx = jnp.arange(capacity, dtype=jnp.int32)
         return jnp.where(
             idx[None, :] < valid_s[:, None], out_full[:, :capacity], 0.0

@@ -108,3 +108,38 @@ def test_gather_rows_n_valid_skip_on_tpu():
     got = np.asarray(jax.jit(lambda x, s, n: gather_rows(x, s, W, n))(x, starts, nv))
     for b in range(B):
         np.testing.assert_array_equal(ref[b, : int(nv[b])], got[b, : int(nv[b])])
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_fused_synth_kernel_on_tpu():
+    """The fused gather+interp+window+OLA kernel must match the XLA synth
+    composition on hardware (Mosaic lowering of the t-major layout, fixed
+    hop shifts, cross-block OLA carry, and slot-0 special case)."""
+    from speedy_tpu.ops.pallas_kernels import gather_synth_block_pallas
+    from tests.test_pallas_kernels import _synth_reference
+
+    rng = np.random.default_rng(9)
+    B, K, hop, L = 4, 300, 160, 60000
+    width = 2 * hop + 1
+    x = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    steps = rng.uniform(hop * 0.5, hop * 5.5, (B, K))
+    starts = jnp.asarray(
+        np.minimum(np.cumsum(steps, axis=1).astype(np.int32), L - width - 1)
+    )
+    af = jnp.asarray(rng.uniform(0.0, 1.0, (B, K)).astype(np.float32))
+    R = 128
+    need = (R - 1) * int(np.ceil(hop * 6.0)) + width + 32
+    w_span = -(-need // 1024) * 1024
+    ref = np.asarray(_synth_reference(x, starts, af, hop))
+    got = np.asarray(
+        gather_synth_block_pallas(x, starts, af, hop, width, R, w_span)
+    )
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
+    nv = jnp.asarray(np.array([300, 100, 20, 1], np.int32))
+    got_v = np.asarray(
+        gather_synth_block_pallas(x, starts, af, hop, width, R, w_span, nv)
+    )
+    for b in range(B):
+        np.testing.assert_allclose(
+            ref[b, : int(nv[b])], got_v[b, : int(nv[b])], rtol=0, atol=2e-5
+        )

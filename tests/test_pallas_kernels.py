@@ -87,3 +87,68 @@ def test_block_span_kernel_n_valid_and_odd_width(interpret_pallas):
     )
     for b in range(3):
         np.testing.assert_array_equal(ref[b, : int(nv[b])], got[b, : int(nv[b])])
+
+
+def _synth_reference(x, starts, af, hop):
+    """XLA composition the fused kernel must match: gather width-(2*hop+1)
+    rows, fractional interp, COLA-Hann window, half-slot OLA (slot 0
+    unwindowed) — the synth() algebra in ops/wsola_fast.py."""
+    from speedy_tpu.ops.wsola_fast import _cola_hann
+
+    B = x.shape[0]
+    width = 2 * hop + 1
+    wide = pk.gather_rows_reference(x, starts, width)
+    afj = af[:, :, None]
+    raw = wide[:, :, :-1] * (1.0 - afj) + wide[:, :, 1:] * afj
+    win = jnp.asarray(_cola_hann(2 * hop))
+    rows = raw * win[None, None, :]
+    firsts = rows[:, :, :hop]
+    seconds = rows[:, :, hop:]
+    slots = firsts + jnp.concatenate(
+        [jnp.zeros((B, 1, hop), jnp.float32), seconds[:, :-1]], axis=1
+    )
+    return jnp.concatenate([raw[:, :1, :hop], slots[:, 1:]], axis=1)
+
+
+def _synth_case(hop, K, n_valid, seed=7, B=3, L=40000, max_step_factor=5.5):
+    rng = np.random.default_rng(seed)
+    width = 2 * hop + 1
+    x = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32))
+    steps = rng.uniform(hop * 0.5, hop * max_step_factor, (B, K))
+    starts = jnp.asarray(
+        np.minimum(np.cumsum(steps, axis=1).astype(np.int32), L - width - 1)
+    )
+    af = jnp.asarray(rng.uniform(0.0, 1.0, (B, K)).astype(np.float32))
+    R = 128
+    need = (R - 1) * int(np.ceil(hop * 6.0)) + width + 32
+    w_span = -(-need // 1024) * 1024
+    got = pk.gather_synth_block_pallas(
+        x, starts, af, hop, width, R, w_span,
+        None if n_valid is None else jnp.asarray(n_valid, jnp.int32),
+        interpret=True,
+    )
+    ref = _synth_reference(x, starts, af, hop)
+    return np.asarray(got), np.asarray(ref)
+
+
+@pytest.mark.parametrize(
+    "hop,K",
+    [
+        (160, 300),  # 16 kHz production shape (ts=2, rr=32), K % 128 != 0
+        (220, 256),  # 22.05 kHz (ts=2, rr=92)
+        (128, 130),  # tile-aligned hop (rr=0)
+        (96, 140),   # single slot tile (ts=1)
+    ],
+)
+def test_fused_synth_kernel_interpret_matches_reference(hop, K):
+    got, ref = _synth_case(hop, K, None)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
+
+
+def test_fused_synth_kernel_n_valid_skip():
+    nv = np.array([300, 170, 1], np.int32)
+    got, ref = _synth_case(160, 300, nv)
+    for b in range(3):
+        np.testing.assert_allclose(
+            got[b, : nv[b]], ref[b, : nv[b]], rtol=0, atol=2e-5
+        )

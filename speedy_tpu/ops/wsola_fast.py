@@ -335,9 +335,12 @@ def _wsola_grid_batch(
     c = jnp.clip(c, 0.0, jnp.maximum(lens_f - 1.0, 0.0)[:, None])
 
     seg_w = taps + maxp
-    G = 2 * Hs  # pitch grid stride: one estimate per 20 ms (pitch varies
-    # slowly; all Teager/DTW gates hold with >=28% margin, and halving
-    # the grid halves the dominant SSD-correlation cost)
+    G = 3 * Hs  # pitch grid stride: one estimate per 30 ms. Pitch varies
+    # slowly; the SSD-correlation cost (the dominant matmul) scales with
+    # 1/G. Measured at 30 ms vs 20 ms: identical Teager margins at rates
+    # 0.4-3.5, identical real-speech splice-disagreement, and all
+    # Teager/DTW/varying-speed gates green (experiments/pitch_grid_G.py,
+    # pitch_grid_splice.py).
     m_strides = -(-seg_w // G)  # window spans m_strides grid cells
     n_cells = (x_pad.shape[1] - pad_front) // G
     n_grid = n_cells - m_strides + 1

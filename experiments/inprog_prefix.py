@@ -54,13 +54,14 @@ def stages(xs, input_lengths, upto):
     c = jnp.clip(c, 0.0, jnp.maximum(lens_f - 1.0, 0.0)[:, None])
     if upto == 1:
         return jnp.sum(c) + jnp.sum(valid)
-    # 2. pitch
+    # 2. pitch (current production formulation: lane-aligned G >= seg_w)
     seg_w = taps + maxp
-    G = 2 * Hs
+    G = -(-max(3 * Hs, seg_w) // 128) * 128
     m_strides = -(-seg_w // G)
-    n_cells = (x_pad.shape[1] - pad_front) // G
+    n_cells = -(-(L + seg_w) // G)
     n_grid = n_cells - m_strides + 1
-    y = x_pad[:, pad_front: pad_front + n_cells * G].reshape(B, n_cells, G)
+    xs_pitch = jnp.concatenate([xs, jnp.zeros((B, n_cells * G - L), dtype)], axis=1)
+    y = xs_pitch.reshape(B, n_cells, G)
     seg = jnp.concatenate([y[:, j: j + n_grid] for j in range(m_strides)], axis=-1)[:, :, :seg_w]
     w = seg.shape[-1]
     M = -(-max(w, taps + maxp) // 128) * 128

@@ -335,20 +335,28 @@ def _wsola_grid_batch(
     c = jnp.clip(c, 0.0, jnp.maximum(lens_f - 1.0, 0.0)[:, None])
 
     seg_w = taps + maxp
-    G = 3 * Hs  # pitch grid stride: one estimate per 30 ms. Pitch varies
-    # slowly; the SSD-correlation cost (the dominant matmul) scales with
-    # 1/G. Measured at 30 ms vs 20 ms: identical Teager margins at rates
-    # 0.4-3.5, identical real-speech splice-disagreement, and all
-    # Teager/DTW/varying-speed gates green (experiments/pitch_grid_G.py,
-    # pitch_grid_splice.py).
-    m_strides = -(-seg_w // G)  # window spans m_strides grid cells
-    n_cells = (x_pad.shape[1] - pad_front) // G
+    # Pitch grid stride: the smallest 128-multiple >= max(3*Hs, seg_w) —
+    # one estimate per ~30 ms (512 samples @16 kHz). Pitch varies slowly:
+    # measured at 30 ms vs the earlier 20 ms grid, Teager margins at
+    # rates 0.4-3.5, real-speech splice-disagreement, and every Teager/
+    # DTW/varying-speed gate are identical (experiments/pitch_grid_G.py,
+    # pitch_grid_splice.py). G >= seg_w makes the windows non-overlapping
+    # pure slice views of a strided reshape (no concat — the old 2-view
+    # concat materialized ~125 MB/step), and 128 | G keeps the reshape
+    # lane-aligned so XLA fuses the views into the DFT einsums.
+    G = -(-max(3 * Hs, seg_w) // 128) * 128
+    m_strides = -(-seg_w // G)  # == 1 by construction
+    n_cells = -(-(L + seg_w) // G)
     n_grid = n_cells - m_strides + 1
-    y = x_pad[:, pad_front : pad_front + n_cells * G].reshape(B, n_cells, G)
-    # windows[b, g] = x[g*G : g*G + m*G] via m shifted views (no gather)
+    # Pitch reads x from sample 0 (x_pad's front padding is synthesis
+    # back-reach only): pad xs directly so the reshape stays tile-aligned.
+    xs_pitch = jnp.concatenate(
+        [xs, jnp.zeros((B, n_cells * G - L), dtype)], axis=1
+    )
+    y = xs_pitch.reshape(B, n_cells, G)
     seg = jnp.concatenate(
         [y[:, j : j + n_grid] for j in range(m_strides)], axis=-1
-    )[:, :, :seg_w]  # [B, n_grid, seg_w]
+    )[:, :, :seg_w]  # [B, n_grid, seg_w] — slice views, no copy
     def ssd_matmul(seg_c, a_taps, lag_lo, lag_hi, prec):
         """SSD(d) for d in [lag_lo, lag_hi] over seg_c [B, Gc, w] with the
         template = first a_taps samples, as DFT matmuls on the MXU (see

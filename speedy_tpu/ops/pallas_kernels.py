@@ -292,13 +292,16 @@ def gather_rows_pipelined(x: jnp.ndarray, starts: jnp.ndarray, width: int):
 def _gather_synth_kernel(
     NB,
     R,
+    SR,
     w_rows,
+    w_sub_rows,
     nt,
     ts,
     hop,
     length_rows,
     nvb_ref,
     bases_ref,
+    rowoff_ref,
     q8k_ref,
     r7k_ref,
     af_ref,
@@ -321,7 +324,11 @@ def _gather_synth_kernel(
     (8x fewer grid programs — measured ~3.7 us fixed cost per program) with
     double-buffered span DMAs. Slabs are T-MAJOR (row t*R + r holds tile t
     of output row r) so the ts slot tiles are a CONTIGUOUS leading slice:
-      1. one-hot [R*nt, w_rows] @ span — tile select on the MXU (exact),
+      1. hierarchical one-hot tile select on the MXU (exact): the span is
+         first narrowed per SR-row sub-block by a dynamic 8-aligned VMEM
+         slice (sub-block row offsets scalar-prefetched), so each one-hot
+         is [SR*nt, w_sub_rows~128] instead of [R*nt, w_rows~1000] —
+         ~8x fewer matmul FLOPs for the same exact selection,
       2. 7-step barrel shift by the 0..127 lane residual (cross-tile carry
          = +R sublanes in t-major),
       3. fractional interp: raw = slab*(1-af) + (slab<<1)*af,
@@ -375,17 +382,40 @@ def _gather_synth_kernel(
             pltpu.make_async_copy(
                 x_ref.at[pl.ds(0, w_rows), :], scratch.at[slot], sems.at[slot]
             ).wait()
-            sp = scratch[slot]
-            q8k = q8k_ref[0, nb, :, :]  # [TOT, 1] t-major tile indices
             r7k = r7k_ref[0, nb, :, :]  # [TOT, 1] 0..127 lane residuals
             af = af_ref[0, nb, :, :]  # [TOT, 1] fractional delays
-            iota_rows = jax.lax.broadcasted_iota(jnp.int32, (TOT, w_rows), 1)
-            onehot = (iota_rows == q8k).astype(sp.dtype)
-            slab = jnp.dot(
-                onehot,
-                sp,
-                preferred_element_type=sp.dtype,
-                precision=jax.lax.Precision.HIGHEST,  # one-hot @ f32 exact
+            # Hierarchical tile select: per SR-row sub-block, narrow the
+            # span to w_sub_rows via a dynamic 8-aligned slice, then a
+            # small exact one-hot matmul. q8k_ref rows are ordered
+            # (sb, t, r) with values relative to the sub-block offset.
+            SB = R // SR
+            CH = SR * nt
+            iota_sub = jax.lax.broadcasted_iota(
+                jnp.int32, (CH, w_sub_rows), 1
+            )
+            dt = scratch.dtype
+            chunks = []
+            for sb in range(SB):
+                off = pl.multiple_of(rowoff_ref[b, nb * SB + sb], 8)
+                spw = scratch[slot, pl.ds(off, w_sub_rows), :]
+                q8c = q8k_ref[0, nb, sb * CH : (sb + 1) * CH, :]
+                onehot = (iota_sub == q8c).astype(dt)
+                chunks.append(
+                    jnp.dot(
+                        onehot,
+                        spw,
+                        preferred_element_type=dt,
+                        precision=jax.lax.Precision.HIGHEST,  # exact
+                    )
+                )  # [CH, 128], rows (t, r) within sub-block sb
+            # Reassemble the global t-major slab: row t*R + sb*SR + r.
+            slab = jnp.concatenate(
+                [
+                    chunks[sb][t * SR : (t + 1) * SR]
+                    for t in range(nt)
+                    for sb in range(SB)
+                ],
+                axis=0,
             )
             for bit in range(7):
                 sh = 1 << bit
@@ -466,6 +496,7 @@ def gather_synth_block_pallas(
         af = jnp.concatenate([af, jnp.zeros((B, pad), af.dtype)], axis=1)
     nt = (width + 127) // 128 + 1  # tiles per row incl. shift headroom
     ts = (hop + 127) // 128  # slot tiles per row
+    w_rows = -(-((w_span + 1024) // 128 + nt + 8) // 8) * 8
     s2 = starts.reshape(B, NB, R)
     base = jnp.min(s2, axis=2)
     base_al = (base // 1024) * 1024
@@ -473,10 +504,23 @@ def gather_synth_block_pallas(
     q8 = offs // 128
     r7 = offs - q8 * 128
     ktile = jnp.arange(nt, dtype=jnp.int32)
+    # Hierarchical select prep: per SR-row sub-block, an 8-aligned row
+    # offset into the span (scalar-prefetched) and tile indices RELATIVE
+    # to it, ordered (sb, t, r) — see _gather_synth_kernel step 1.
+    SR = min(16, R)
+    SB = R // SR
+    step_ub = -(-w_span // max(R - 1, 1))  # per-row start step bound
+    w_sub = (SR - 1) * step_ub + width + 32 + 1024
+    w_sub_rows = min(w_rows, -(-(-(-w_sub // 128) + nt + 8) // 8) * 8)
+    q8s = q8.reshape(B, NB, SB, SR)
+    rowoff = jnp.clip(
+        (jnp.min(q8s, axis=3) // 8) * 8, 0, w_rows - w_sub_rows
+    ).astype(jnp.int32)  # [B, NB, SB]
+    q8rel = q8s - rowoff[..., None]
+    q8k = (
+        q8rel[:, :, :, None, :] + ktile[None, None, None, :, None]
+    ).reshape(B, NB, nt * R, 1)
     # T-major: row t*R + r of the slab is tile t of output row r.
-    q8k = (q8[:, :, None, :] + ktile[None, None, :, None]).reshape(
-        B, NB, nt * R, 1
-    )
     r7k = jnp.broadcast_to(r7[:, :, None, :], (B, NB, nt, R)).reshape(
         B, NB, nt * R, 1
     )
@@ -497,7 +541,6 @@ def gather_synth_block_pallas(
     win_pad[: 2 * hop] = win_np
     win2 = jnp.asarray(win_pad.reshape(win_rows, 128))
 
-    w_rows = -(-((w_span + 1024) // 128 + nt + 8) // 8) * 8
     Lp = -(-L // 1024) * 1024
     xp = x if Lp == L else jnp.concatenate(
         [x, jnp.zeros((B, Lp - L), x.dtype)], axis=1
@@ -506,7 +549,7 @@ def gather_synth_block_pallas(
     x2 = flat.reshape(-1, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(
@@ -538,7 +581,8 @@ def gather_synth_block_pallas(
         ],
     )
     kernel = functools.partial(
-        _gather_synth_kernel, NB, R, w_rows, nt, ts, hop, Lp // 128
+        _gather_synth_kernel, NB, R, SR, w_rows, w_sub_rows, nt, ts, hop,
+        Lp // 128,
     )
     out = pl.pallas_call(
         kernel,
@@ -551,7 +595,16 @@ def gather_synth_block_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(nvb, (base_al // 128).astype(jnp.int32), q8k, r7k, af_tm, win2, x2)
+    )(
+        nvb,
+        (base_al // 128).astype(jnp.int32),
+        rowoff.reshape(B, NB * SB),
+        q8k,
+        r7k,
+        af_tm,
+        win2,
+        x2,
+    )
     # T-major slot tiles -> [B, K, hop] without a transpose pass: slice
     # each tile's used lanes and concatenate along the sample axis.
     o = out.reshape(B, NB, ts, R, 128)

@@ -15,6 +15,7 @@ issue rate is the floor for independent unaligned reads.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -768,3 +769,126 @@ def gather_rows_block_pallas(
     )(nvb, (base_al // 128).astype(jnp.int32), q8k, r7k, x2)
     rows = out.reshape(B, NB, R, nt * 128)[..., :width]
     return rows.reshape(B, NB * R, width)[:, :K]
+
+
+@functools.lru_cache(maxsize=16)
+def _pitch_kernel_matrices(taps: int, seg_w: int, minp: int, maxp: int,
+                           M: int, n_lag_pad: int, dtype: str = "float32"):
+    """Split-complex, zero-padded variants of _pitch_corr_matrices for the
+    Pallas pitch kernel (no lane slicing needed in-kernel):
+      EaR/EaI [taps, nb], EsR/EsI [seg_pad, nb]  (forward real DFT parts;
+        rows seg_w..seg_pad-1 are ZERO so the padded window tail of each
+        grid cell contributes nothing),
+      InvR/InvI [nb, n_lag_pad] (inverse DFT at the lags; cols beyond
+        n_lags zero),
+      BandL [seg_pad, n_lag_pad] (windowed lag energies), Band0
+        [seg_pad, n_lag_pad] (col 0 = template energy, rest zero).
+    """
+    from .wsola_fast import _pitch_corr_matrices
+
+    seg_pad = -(-seg_w // 128) * 128
+    nb = M // 2 + 1
+    n_lags = maxp - minp + 1
+    Ea, Es, Inv, Band = _pitch_corr_matrices(taps, seg_w, minp, maxp, M, dtype)
+    f = np.dtype(dtype).type
+    z = lambda a, rows, cols: np.pad(
+        a, ((0, rows - a.shape[0]), (0, cols - a.shape[1]))
+    ).astype(f)
+    EaR = z(Ea[:, :nb], taps, nb)
+    EaI = z(Ea[:, nb:], taps, nb)
+    EsR = z(Es[:, :nb], seg_pad, nb)
+    EsI = z(Es[:, nb:], seg_pad, nb)
+    InvR = z(Inv[:nb], nb, n_lag_pad)
+    InvI = z(Inv[nb:], nb, n_lag_pad)
+    BandL = z(Band[:, :n_lags], seg_pad, n_lag_pad)
+    Band0 = z(Band[:, n_lags:], seg_pad, n_lag_pad)
+    return EaR, EaI, EsR, EsI, InvR, InvI, BandL, Band0
+
+
+def _pitch_ssd_kernel(taps, n_lags, minp, n_lag_pad,
+                      x_ref, eaR, eaI, esR, esI, invR, invI, bandL, band0,
+                      out_ref):
+    """One program per GC grid cells: windowed SSD over the pitch lag
+    range as split-complex DFT matmuls on the MXU with all matrices
+    VMEM-resident (fetched once — constant block index across the grid),
+    then argmin + 3-point parabolic refinement, emitting only the
+    [GC] period estimates. The XLA formulation reads the ~80 MB window
+    operand once per einsum; here x crosses HBM exactly once."""
+    slab = x_ref[0]  # [GC, G] — cell g's window is its first seg_w lanes
+    dt = slab.dtype
+    hi = jax.lax.Precision.HIGHEST
+    a0 = slab[:, :taps]
+    dot = lambda a, m: jnp.dot(a, m, preferred_element_type=dt, precision=hi)
+    FAr, FAi = dot(a0, eaR[...]), dot(a0, eaI[...])
+    s_in = slab[:, : esR.shape[0]]
+    FSr, FSi = dot(s_in, esR[...]), dot(s_in, esI[...])
+    prodR = FAr * FSr + FAi * FSi
+    prodI = FAr * FSi - FAi * FSr
+    cc = dot(prodR, invR[...]) + dot(prodI, invI[...])
+    sq = s_in * s_in
+    e_lag = dot(sq, bandL[...])
+    e0 = dot(sq, band0[...])[:, :1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, cc.shape, 1)
+    big = jnp.asarray(3e38, dt)
+    ssd = jnp.where(lane < n_lags, e_lag + e0 - 2.0 * cc, big)
+    jmin = jnp.argmin(ssd, axis=1)
+    jc = jnp.clip(jmin, 1, n_lags - 2)[:, None]  # [GC, 1]
+    pick = lambda off: jnp.sum(
+        jnp.where(lane == jc + off, ssd, 0.0), axis=1, keepdims=True
+    )
+    l_, m_, r_ = pick(-1), pick(0), pick(1)
+    den = l_ - 2.0 * m_ + r_
+    frac = jnp.where(jnp.abs(den) > 1e-12, 0.5 * (l_ - r_) / den, 0.0)
+    period = (minp + jc).astype(dt) + jnp.clip(frac, -0.5, 0.5)  # [GC, 1]
+    out_ref[0, :, :] = jnp.broadcast_to(period, out_ref.shape[1:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("taps", "minp", "maxp", "interpret")
+)
+def pitch_ssd_pallas(
+    xg: jnp.ndarray,
+    taps: int,
+    minp: int,
+    maxp: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """xg [B, nc, G] (G a 128-multiple >= seg_w = taps + maxp; cell g's
+    window = its first seg_w samples, zero-tailed past the signal) ->
+    period [B, nc] float32: sub-sample pitch period per grid cell,
+    identical math to wsola_fast's ssd_matmul + parabolic_min."""
+    B, nc, G = xg.shape
+    seg_w = taps + maxp
+    assert G % 128 == 0 and G >= seg_w
+    M = -(-max(seg_w, taps + maxp) // 128) * 128
+    n_lags = maxp - minp + 1
+    n_lag_pad = -(-n_lags // 128) * 128
+    GC = int(os.environ.get("SPEEDY_PITCH_GC", "128"))
+    NC = -(-nc // GC)
+    if NC * GC != nc:
+        xg = jnp.concatenate(
+            [xg, jnp.zeros((B, NC * GC - nc, G), xg.dtype)], axis=1
+        )
+    mats = _pitch_kernel_matrices(
+        taps, seg_w, minp, maxp, M, n_lag_pad, str(np.dtype(xg.dtype))
+    )
+    mats = tuple(jnp.asarray(m) for m in mats)
+    c0 = lambda b, cb: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_pitch_ssd_kernel, taps, n_lags, minp, n_lag_pad),
+        grid=(B, NC),
+        in_specs=[
+            pl.BlockSpec((1, GC, G), lambda b, cb: (b, cb, 0)),
+            *[
+                pl.BlockSpec(m.shape, c0)  # constant index: fetched once
+                for m in mats
+            ],
+        ],
+        out_specs=pl.BlockSpec((1, GC, 128), lambda b, cb: (b, cb, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, NC * GC, 128), xg.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )(xg, *mats)
+    return out[:, :nc, 0]

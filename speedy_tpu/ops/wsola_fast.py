@@ -374,10 +374,14 @@ def _wsola_grid_batch(
         FS = jnp.einsum("bgt,tk->bgk", seg_c, Es, precision=prec)
         AR, AI = FA[..., :nb], FA[..., nb:]
         SR, SI = FS[..., :nb], FS[..., nb:]
-        prod = jnp.concatenate(
-            [AR * SR + AI * SI, AR * SI - AI * SR], axis=-1
-        )  # [Re | Im] of conj(FA)*FS
-        cc = jnp.einsum("bgk,kl->bgl", prod, Inv, precision=prec)
+        # conj(FA)*FS as Re/Im einsums (measured equal to the single
+        # concatenated-product einsum — XLA fuses either form; kept split
+        # as the simpler expression of the complex arithmetic).
+        cc = jnp.einsum(
+            "bgk,kl->bgl", AR * SR + AI * SI, Inv[:nb], precision=prec
+        ) + jnp.einsum(
+            "bgk,kl->bgl", AR * SI - AI * SR, Inv[nb:], precision=prec
+        )
         E = jnp.einsum("bgt,tl->bgl", seg_c * seg_c, Band, precision=prec)
         return E[..., nl:] + E[..., :nl] - 2.0 * cc
 
@@ -392,6 +396,12 @@ def _wsola_grid_batch(
         frac = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
         return (lag_lo + jc).astype(dtype) + jnp.clip(frac, -0.5, 0.5)
 
+    # NOTE measured dead end: a Pallas pitch kernel with VMEM-resident DFT
+    # matrices (pallas_kernels.pitch_ssd_pallas) lands at the same device
+    # time as these einsums (~4.7-5.0 ms/step at B=128, GC 128-256) — XLA
+    # already fuses the window views into the einsum operands, and the
+    # kernel pays +33% FLOPs for 257->384 lane padding. The XLA path wins
+    # on simplicity; the kernel is kept (tested) for the record.
     ssd = ssd_matmul(seg, taps, minp, maxp, _PITCH_PRECISION)
     period_grid = parabolic_min(ssd, minp, maxp - minp - 1)
     # Look up the period at each chunk's nominal source position.

@@ -152,3 +152,57 @@ def test_fused_synth_kernel_n_valid_skip():
         np.testing.assert_allclose(
             got[b, : nv[b]], ref[b, : nv[b]], rtol=0, atol=2e-5
         )
+
+
+def test_pitch_ssd_kernel_interpret_matches_xla():
+    """pitch_ssd_pallas (kept as a documented measured-equal alternative
+    to the production einsum path) must agree with ssd_matmul +
+    parabolic_min on the period decisions."""
+    from speedy_tpu.ops import wsola_fast as wf
+
+    rng = np.random.default_rng(5)
+    B, nc, G = 2, 80, 512
+    taps, maxp, minp = 246, 246, 40
+    seg_w = taps + maxp
+    t = np.arange(nc * G) / 16000.0
+    xg = rng.standard_normal((B, nc, G)).astype(np.float32) * 0.3
+    xg[0] = (0.5 * np.sin(2 * np.pi * 180 * t)).astype(np.float32).reshape(
+        nc, G
+    )
+    xg[:, -1] = 0.0
+    xj = jnp.asarray(xg)
+    seg = xj[:, :, :seg_w]
+    ssd = wf._wsola_grid_batch.__wrapped__  # noqa: F841 (import anchor)
+    # replicate the production XLA pitch math via the module helpers
+    M = 512
+    nb = M // 2 + 1
+    nl = maxp - minp + 1
+    Ea, Es, Inv, Band = (
+        jnp.asarray(m)
+        for m in wf._pitch_corr_matrices(taps, seg_w, minp, maxp, M)
+    )
+    prec = wf._PITCH_PRECISION
+    a0 = seg[..., :taps]
+    FA = jnp.einsum("bgt,tk->bgk", a0, Ea, precision=prec)
+    FS = jnp.einsum("bgt,tk->bgk", seg, Es, precision=prec)
+    AR, AI = FA[..., :nb], FA[..., nb:]
+    SR, SI = FS[..., :nb], FS[..., nb:]
+    cc = jnp.einsum(
+        "bgk,kl->bgl", AR * SR + AI * SI, Inv[:nb], precision=prec
+    ) + jnp.einsum("bgk,kl->bgl", AR * SI - AI * SR, Inv[nb:], precision=prec)
+    E = jnp.einsum("bgt,tl->bgl", seg * seg, Band, precision=prec)
+    ssd_v = E[..., nl:] + E[..., :nl] - 2.0 * cc
+    jmin = jnp.argmin(ssd_v, axis=-1)
+    jc = jnp.clip(jmin, 1, maxp - minp - 1)
+    take = lambda off: jnp.take_along_axis(
+        ssd_v, (jc + off)[..., None], axis=2
+    )[..., 0]
+    l, m, r = take(-1), take(0), take(1)
+    den = l - 2.0 * m + r
+    frac = jnp.where(jnp.abs(den) > 1e-12, 0.5 * (l - r) / den, 0.0)
+    ref = np.asarray(
+        (minp + jc).astype(jnp.float32) + jnp.clip(frac, -0.5, 0.5)
+    )
+    got = np.asarray(pk.pitch_ssd_pallas(xj, taps, minp, maxp, interpret=True))
+    d = np.abs(ref - got)
+    assert np.mean(d > 0.1) < 0.005, d.max()

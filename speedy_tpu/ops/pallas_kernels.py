@@ -311,7 +311,9 @@ def _gather_synth_kernel(
     out_ref,
     scratch,
     carr,
+    obuf,
     sems,
+    osems,
 ):
     """Fused WSOLA synthesis: block-span gather + fractional-delay interp +
     Hann window + half-slot OLA, emitting final hop-sample SLOTS.
@@ -338,12 +340,21 @@ def _gather_synth_kernel(
          dependency is a +1 sublane roll, block boundaries carried in a
          scratch register across the unrolled loop; global row 0 is the
          reference's unwindowed slot.
-    Blocks past nvb are skipped (garbage out, caller masks).
+    Blocks past nvb are skipped entirely — including their OUTPUT HBM
+    traffic: the output lives in ANY space and valid blocks are written
+    by explicit double-buffered VMEM->HBM DMAs, so the ~5/8 of capacity
+    that is dead at a 3.5x speedup never crosses the memory bus (a
+    VMEM-blocked out spec writes every block back regardless).
     """
     b = pl.program_id(0)
     nvb = nvb_ref[b]
     TOT = R * nt
     ST = R * ts
+
+    def out_dma(nb, oslot):
+        return pltpu.make_async_copy(
+            obuf.at[oslot], out_ref.at[b, nb], osems.at[oslot]
+        )
 
     def start_dma(nb, slot):
         s = b * length_rows + bases_ref[b, nb]
@@ -457,9 +468,26 @@ def _gather_synth_kernel(
                 # (wsola_fast.synth / the reference's first chunk).
                 r0 = bcast_rows(raw, [t * R for t in range(ts)])
                 slots = jnp.where(first_row, r0, slots)
-            out_ref[0, nb, :, :] = slots
+            oslot = nb % 2
+            if nb >= 2:
+                # The buffer's previous DMA (issued at nb-2) must land
+                # before overwriting it.
+                out_dma(nb - 2, oslot).wait()
+            obuf[oslot, :, :] = slots
+            out_dma(nb, oslot).start()
             for t in range(ts):
                 carr[t : t + 1, :] = S[t * R + R - 1 : t * R + R, :]
+
+    # Drain the last outstanding output DMAs (static sem indices; both
+    # parities are in flight when nvb >= 2, only parity 0 when nvb == 1).
+    @pl.when(nvb >= 2)
+    def _():
+        out_dma(0, 0).wait()
+        out_dma(0, 1).wait()
+
+    @pl.when(nvb == 1)
+    def _():
+        out_dma(0, 0).wait()
 
 
 @functools.partial(
@@ -571,13 +599,12 @@ def gather_synth_block_pallas(
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, NB, R * ts, 128), lambda b, *_: (b, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, w_rows, 128), x.dtype),
             pltpu.VMEM((8, 128), x.dtype),
+            pltpu.VMEM((2, R * ts, 128), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -303,6 +303,7 @@ def _gather_synth_kernel(
     nvb_ref,
     bases_ref,
     rowoff_ref,
+    nrows_ref,
     q8k_ref,
     r7k_ref,
     af_ref,
@@ -356,16 +357,31 @@ def _gather_synth_kernel(
             obuf.at[oslot], out_ref.at[b, nb], osems.at[oslot]
         )
 
-    def start_dma(nb, slot):
+    # Span DMA lengths are bucketed: w_rows covers the worst-case plan
+    # speed, but a block's ACTUAL extent (scalar-prefetched nrows) is
+    # usually much smaller — at a 3.5x speedup ~60% of the span bytes are
+    # dead. Four static lengths keep the DMA shapes compile-time known.
+    _bl = [-(-(w_rows * c) // (4 * 8)) * 8 for c in (1, 2, 3, 4)]
+
+    def span_dma(nb, slot, do):
         s = b * length_rows + bases_ref[b, nb]
         row = pl.multiple_of(s, 8)
-        pltpu.make_async_copy(
-            x_ref.at[pl.ds(row, w_rows), :], scratch.at[slot], sems.at[slot]
-        ).start()
+        need = nrows_ref[b, nb]
+        lo = 0
+        for lc in _bl:
+            @pl.when((lo < need) & (need <= lc))
+            def _(lc=lc):
+                cp = pltpu.make_async_copy(
+                    x_ref.at[pl.ds(row, lc), :],
+                    scratch.at[slot, pl.ds(0, lc), :],
+                    sems.at[slot],
+                )
+                cp.start() if do == "start" else cp.wait()
+            lo = lc
 
     @pl.when(0 < nvb)
     def _():
-        start_dma(0, 0)
+        span_dma(0, 0, "start")
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (TOT, 128), 1)
     sub2 = jax.lax.broadcasted_iota(jnp.int32, (ST, 128), 0)
@@ -387,13 +403,11 @@ def _gather_synth_kernel(
 
         @pl.when(nb + 1 < nvb)
         def _():
-            start_dma(nb + 1, (nb + 1) % 2)
+            span_dma(nb + 1, (nb + 1) % 2, "start")
 
         @pl.when(nb < nvb)
         def _():
-            pltpu.make_async_copy(
-                x_ref.at[pl.ds(0, w_rows), :], scratch.at[slot], sems.at[slot]
-            ).wait()
+            span_dma(nb, slot, "wait")
             r7k = r7k_ref[0, nb, :, :]  # [TOT, 1] 0..127 lane residuals
             af = af_ref[0, nb, :, :]  # [TOT, 1] fractional delays
             # Hierarchical tile select: per SR-row sub-block, narrow the
@@ -545,6 +559,13 @@ def gather_synth_block_pallas(
     rowoff = jnp.clip(
         (jnp.min(q8s, axis=3) // 8) * 8, 0, w_rows - w_sub_rows
     ).astype(jnp.int32)  # [B, NB, SB]
+    # Actual span extent per block for the bucketed span-DMA lengths.
+    # Must cover every hierarchical sub-block window [off, off+w_sub_rows)
+    # — the one-hot multiplies un-DMA'd rows by 0.0, which is only safe if
+    # they hold real numbers, not stale NaN/Inf VMEM.
+    nrows = jnp.minimum(jnp.max(q8, axis=2) + w_sub_rows, w_rows).astype(
+        jnp.int32
+    )  # [B, NB]
     q8rel = q8s - rowoff[..., None]
     q8k = (
         q8rel[:, :, :, None, :] + ktile[None, None, None, :, None]
@@ -578,7 +599,7 @@ def gather_synth_block_pallas(
     x2 = flat.reshape(-1, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(
@@ -627,6 +648,7 @@ def gather_synth_block_pallas(
         nvb,
         (base_al // 128).astype(jnp.int32),
         rowoff.reshape(B, NB * SB),
+        nrows,
         q8k,
         r7k,
         af_tm,

@@ -43,11 +43,13 @@ def main():
     cfg = SpeedyConfig(sample_rate)
     L = int(sample_rate * seconds)
     n_dev = jax.device_count()
-    B = int(os.environ.get("SPEEDY_BENCH_BATCH", "128")) * max(n_dev, 1)
-    # 32 iterations per dispatched window: the relay charges a fixed
+    # B=96 is the measured throughput knee on v5e (sweep: 64 -> 78.7k,
+    # 80 -> 77.4k, 96 -> 81.0k, 128 -> 79.6k, 192 -> 69.6k, 256+ worse).
+    B = int(os.environ.get("SPEEDY_BENCH_BATCH", "96")) * max(n_dev, 1)
+    # 40 iterations per dispatched window: the relay charges a fixed
     # ~30 ms floor PER EXECUTE (independent of program size — measured on
     # noop programs), so per-step cost = floor/iters + device step time.
-    iters = int(os.environ.get("SPEEDY_BENCH_ITERS", "32"))
+    iters = int(os.environ.get("SPEEDY_BENCH_ITERS", "40"))
     serial = os.environ.get("SPEEDY_BENCH_SERIAL", "0") == "1"
 
     # Speech-like test signal: pitch-modulated harmonics with syllabic

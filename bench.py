@@ -84,11 +84,11 @@ def main():
     def fresh():
         return jnp.asarray(fresh_np())
 
-    # Warmup / compile.
-    s, v = step_fn(fresh(), lengths)
-    float(s)
-
     if serial:
+        # Warmup / compile (the scan path compiles its own program; remote
+        # compiles take minutes, so only build what will be timed).
+        s, v = step_fn(fresh(), lengths)
+        float(s)
         times = []
         for _ in range(iters):
             xs = fresh()

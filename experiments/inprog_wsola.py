@@ -22,7 +22,8 @@ def wso(xs, l):
 
 # pieces, replicated at identical (CURRENT production) shapes
 from speedy_tpu.ops.wsola_fast import _PITCH_PRECISION
-seg_w = taps + maxp; G = 2*Hs  # 20 ms pitch grid, as in _wsola_grid_batch
+seg_w = taps + maxp
+G = -(-max(3 * Hs, seg_w) // 128) * 128  # as in _wsola_grid_batch
 
 def pitch_extra(xs):
     x_pad = jnp.concatenate([jnp.zeros((B,pad_front),dtype), xs, jnp.zeros((B, 2*maxp+taps+Wn),dtype)],axis=1)
@@ -31,7 +32,6 @@ def pitch_extra(xs):
     n_grid=n_cells-m_strides+1
     y=x_pad[:,pad_front:pad_front+n_cells*G].reshape(B,n_cells,G)
     seg=jnp.concatenate([y[:,j:j+n_grid] for j in range(m_strides)],axis=-1)[:,:,:seg_w]
-    ssd = wsola_fast._wsola_grid_batch.__wrapped__.__globals__  # noqa: unused (keep import graph obvious)
     # replicate ssd_matmul + parabolic_min at production shapes
     w = seg.shape[-1]
     M = -(-max(w, taps + maxp)//128)*128; nb = M//2+1; n_lags = maxp-minp+1

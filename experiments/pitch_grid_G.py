@@ -29,8 +29,11 @@ def run_gate(g_mult, speed):
     src_path = wsola_fast.__file__
     with open(src_path) as f:
         src = f.read()
-    assert "G = 2 * Hs" in src or "G = 3 * Hs" in src
-    new = re.sub(r"G = \d \* Hs", f"G = {g_mult} * Hs", src)
+    # Production is G = roundup(max(3*Hs, seg_w), 128); this experiment
+    # forces plain multiples of Hs to compare grid densities.
+    pat = r"G = -\(-max\(\d \* Hs, seg_w\) // 128\) \* 128|G = \d \* Hs"
+    assert re.search(pat, src), "G expression in wsola_fast.py changed; update this experiment"
+    new = re.sub(pat, f"G = {g_mult} * Hs", src, count=1)
     with open(src_path, "w") as f:
         f.write(new)
     importlib.reload(wsola_fast)

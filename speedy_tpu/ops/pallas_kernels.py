@@ -522,8 +522,20 @@ def gather_synth_block_pallas(
     """Fused WSOLA synthesis tail: x[B, L], near-monotone starts[B, K],
     fractional delays af[B, K] -> OLA slots [B, K, hop] (slot k =
     windowed-interpolated chunk k's first hop samples + chunk k-1's last;
-    slot 0 unwindowed). width must be 2*hop + 1. Same span/validity
-    contract as gather_rows_block_pallas; rows at/after n_valid garbage.
+    slot 0 unwindowed). width must be 2*hop + 1. Rows at/after n_valid
+    are garbage.
+
+    Span contract — TIGHTER than gather_rows_block_pallas's per-128-row
+    bound: the hierarchical select additionally needs every 16-row
+    SUB-block's spread to fit its narrowed window, i.e.
+    max(starts) - min(starts) within any 16 consecutive rows must stay
+    under ~15*ceil(w_span/127) + 1024 samples. Both hold automatically
+    for near-monotone starts with per-row steps <= the planner bound the
+    caller sizes w_span from (wsola_fast: Hs*max_speed_plan steps plus a
+    +-max_period/2 phase-snap jitter, absorbed by the alignment slack);
+    pathological starts that concentrate a block's spread inside one
+    sub-block would select zeros SILENTLY. Not a concern for the
+    production caller, by construction.
     """
     assert width == 2 * hop + 1
     B, L = x.shape
@@ -893,13 +905,14 @@ def _pitch_ssd_kernel(taps, n_lags, minp, n_lag_pad,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("taps", "minp", "maxp", "interpret")
+    jax.jit, static_argnames=("taps", "minp", "maxp", "gc_cells", "interpret")
 )
 def pitch_ssd_pallas(
     xg: jnp.ndarray,
     taps: int,
     minp: int,
     maxp: int,
+    gc_cells: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """xg [B, nc, G] (G a 128-multiple >= seg_w = taps + maxp; cell g's
@@ -912,7 +925,7 @@ def pitch_ssd_pallas(
     M = -(-max(seg_w, taps + maxp) // 128) * 128
     n_lags = maxp - minp + 1
     n_lag_pad = -(-n_lags // 128) * 128
-    GC = int(os.environ.get("SPEEDY_PITCH_GC", "128"))
+    GC = gc_cells  # grid cells per program (static; 128 and 256 measured equal)
     NC = -(-nc // GC)
     if NC * GC != nc:
         xg = jnp.concatenate(

@@ -344,19 +344,16 @@ def _wsola_grid_batch(
     # pure slice views of a strided reshape (no concat — the old 2-view
     # concat materialized ~125 MB/step), and 128 | G keeps the reshape
     # lane-aligned so XLA fuses the views into the DFT einsums.
-    G = -(-max(3 * Hs, seg_w) // 128) * 128
-    m_strides = -(-seg_w // G)  # == 1 by construction
+    G = -(-max(3 * Hs, seg_w) // 128) * 128  # G >= seg_w by construction
     n_cells = -(-(L + seg_w) // G)
-    n_grid = n_cells - m_strides + 1
+    n_grid = n_cells
     # Pitch reads x from sample 0 (x_pad's front padding is synthesis
     # back-reach only): pad xs directly so the reshape stays tile-aligned.
     xs_pitch = jnp.concatenate(
         [xs, jnp.zeros((B, n_cells * G - L), dtype)], axis=1
     )
     y = xs_pitch.reshape(B, n_cells, G)
-    seg = jnp.concatenate(
-        [y[:, j : j + n_grid] for j in range(m_strides)], axis=-1
-    )[:, :, :seg_w]  # [B, n_grid, seg_w] — slice views, no copy
+    seg = y[:, :, :seg_w]  # [B, n_grid, seg_w] — slice view, no copy
     def ssd_matmul(seg_c, a_taps, lag_lo, lag_hi, prec):
         """SSD(d) for d in [lag_lo, lag_hi] over seg_c [B, Gc, w] with the
         template = first a_taps samples, as DFT matmuls on the MXU (see

@@ -172,7 +172,6 @@ def test_pitch_ssd_kernel_interpret_matches_xla():
     xg[:, -1] = 0.0
     xj = jnp.asarray(xg)
     seg = xj[:, :, :seg_w]
-    ssd = wf._wsola_grid_batch.__wrapped__  # noqa: F841 (import anchor)
     # replicate the production XLA pitch math via the module helpers
     M = 512
     nb = M // 2 + 1

@@ -265,7 +265,10 @@ def _wsola_grid_batch(
     num_chunks: int,
     xs_channels: Optional[jnp.ndarray] = None,
     max_speed_plan: Optional[float] = None,
-    span_rows: int = 128,
+    # 64-row span blocks: measured knee (32 -> 81.7k, 64 -> 84.9k,
+    # 128 -> 84.6k, 256 -> 84.2k audio-s/s/chip at the 3.5x bench point);
+    # also halves the worst-case span DMA width vs 128.
+    span_rows: int = 64,
 ) -> WsolaResult:
     """xs[B, L], input_lengths[B], speeds[B, F] -> WsolaResult with
     output[B, capacity], valid_length[B].

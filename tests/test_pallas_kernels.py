@@ -146,7 +146,9 @@ def test_fused_synth_kernel_interpret_matches_reference(hop, K):
 
 
 def test_fused_synth_kernel_n_valid_skip():
-    nv = np.array([300, 170, 1], np.int32)
+    # nv=0 exercises the no-valid-blocks path (no span/output DMAs, no
+    # semaphore drains) on a whole utterance.
+    nv = np.array([300, 170, 0], np.int32)
     got, ref = _synth_case(160, 300, nv)
     for b in range(3):
         np.testing.assert_allclose(

@@ -33,6 +33,21 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persistent compilation cache: the scan-window program costs minutes
+    # of remote compile cold; cache hits bring a fresh-process bench run
+    # down to seconds of setup.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "SPEEDY_JAX_CACHE", os.path.expanduser("~/.cache/speedy_jax")
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs
+
     import jax.numpy as jnp
 
     from speedy_tpu.config import SpeedyConfig

@@ -61,12 +61,12 @@ def main():
     # B=96 is the measured throughput knee on v5e (sweep: 64 -> 78.7k,
     # 80 -> 77.4k, 96 -> 81.0k, 128 -> 79.6k, 192 -> 69.6k, 256+ worse).
     B = int(os.environ.get("SPEEDY_BENCH_BATCH", "96")) * max(n_dev, 1)
-    # 96 iterations per dispatched window: the relay charges a fixed
+    # 192 iterations per dispatched window: the relay charges a fixed
     # ~30 ms floor PER EXECUTE (independent of program size — measured on
     # noop programs), so per-step cost = floor/iters + device step time;
     # inputs are synthesized on device, so window memory is iters-free
-    # (sweep: 40 -> 81.0k, 64 -> 83.2k, 96 -> 84.3k audio-s/s/chip).
-    iters = int(os.environ.get("SPEEDY_BENCH_ITERS", "96"))
+    # (sweep: 40 -> 81.0k, 96 -> 84.3k, 192 -> 85.8k audio-s/s/chip).
+    iters = int(os.environ.get("SPEEDY_BENCH_ITERS", "192"))
     serial = os.environ.get("SPEEDY_BENCH_SERIAL", "0") == "1"
 
     # Speech-like test signal: pitch-modulated harmonics with syllabic

@@ -184,6 +184,93 @@ def _plan_max_speed(global_speed: float, nonlinear_factor: float) -> float:
     return float(np.ceil(final_max * 2.0) / 2.0)
 
 
+def _run_grid_engine(
+    xs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    speeds: jnp.ndarray,
+    minp: int,
+    maxp: int,
+    step: int,
+    hop: int,
+    gcap: int,
+    K: int,
+    max_speed_plan: Optional[float],
+    mesh: Optional[Mesh],
+    xs_channels: Optional[jnp.ndarray] = None,
+) -> wsola.WsolaResult:
+    """Dispatch the grid WSOLA engine, sharded over the mesh's 'dp' axis.
+
+    XLA's GSPMD partitioner cannot split a Mosaic custom call, so under a
+    mesh the Pallas fast path (gather_rows_block / gather_synth_block)
+    must run inside `jax.shard_map`: every kernel is batch-independent,
+    so sharding the batch axis is mechanical — each device runs the
+    identical program on its B/dp rows, with no collectives. The CPU/XLA
+    fallback takes the SAME shard_map path (same partitioning, same
+    per-row math), which is what makes the sharded-vs-unsharded output
+    equality gates in tests/test_parallel.py and __graft_entry__.py
+    meaningful. Replicated over any other mesh axes ('tp').
+
+    Batches not divisible by dp are zero-padded (padded rows have
+    length 0 -> valid 0 -> all-zero output) and trimmed on return.
+    """
+    if mesh is None:
+        return wsola_fast._wsola_grid_batch(
+            xs, lengths, speeds, minp, maxp, step, hop, gcap, K,
+            xs_channels=xs_channels, max_speed_plan=max_speed_plan,
+        )
+    dp = mesh.shape["dp"]
+    B = xs.shape[0]
+    pad = (-B) % dp
+    if pad:
+        xs = jnp.concatenate([xs, jnp.zeros((pad, xs.shape[1]), xs.dtype)])
+        lengths = jnp.concatenate(
+            [lengths, jnp.zeros((pad,), lengths.dtype)]
+        )
+        # Padded rows never emit output (valid=0); speed 1 keeps the time
+        # map's 1/s finite.
+        speeds = jnp.concatenate(
+            [speeds, jnp.ones((pad, speeds.shape[1]), speeds.dtype)]
+        )
+        if xs_channels is not None:
+            xs_channels = jnp.concatenate(
+                [
+                    xs_channels,
+                    jnp.zeros((pad,) + xs_channels.shape[1:], xs_channels.dtype),
+                ]
+            )
+    args = [xs, lengths, speeds]
+    in_specs = [P("dp", None), P("dp"), P("dp", None)]
+    if xs_channels is None:
+        out_specs = wsola.WsolaResult(P("dp", None), P("dp"), P("dp"))
+    else:
+        args.append(xs_channels)
+        in_specs.append(P("dp", None, None))
+        out_specs = wsola.WsolaResult(P("dp", None, None), P("dp"), P("dp"))
+
+    def body(x, l, s, *ch):
+        return wsola_fast._wsola_grid_batch(
+            x, l, s, minp, maxp, step, hop, gcap, K,
+            xs_channels=ch[0] if ch else None,
+            max_speed_plan=max_speed_plan,
+        )
+
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=out_specs,
+        # The engine body holds Pallas custom calls whose replication the
+        # vma checker cannot see through; correctness is gated by the
+        # sharded-vs-unsharded output-equality tests instead.
+        check_vma=False,
+    )(*args)
+    if pad:
+        out = wsola.WsolaResult(
+            out.output[:B], out.valid_length[:B], out.steps_used[:B]
+        )
+    return out
+
+
 def _mask_speeds(speeds: jnp.ndarray, valid_tension: jnp.ndarray) -> jnp.ndarray:
     """Hold the last valid frame's speed through the padded tail, mirroring
     the shim's flush-at-last-speed (soniclib.c:538-551)."""
@@ -264,9 +351,9 @@ def batched_nonlinear_speedup(
             gcap, K = capacity, capacity // hop + 1
         # Enables the block-span gather (one DMA per 128 rows).
         max_speed_plan = _plan_max_speed(global_speed, nonlinear_factor)
-        out = wsola_fast._wsola_grid_batch(
+        out = _run_grid_engine(
             xs, lengths.astype(jnp.int32), speeds, minp, maxp, step, hop,
-            gcap, K, max_speed_plan=max_speed_plan,
+            gcap, K, max_speed_plan, mesh,
         )
     else:
         out = jax.vmap(
@@ -360,7 +447,7 @@ def batched_nonlinear_speedup_multichannel(
     speeds = jnp.maximum(speeds, jnp.asarray(min_speed_bound, mono.dtype))
     hop, gcap, K = wsola_fast.plan_grid(cfg, L, min_speed_bound)
     max_speed_plan = _plan_max_speed(global_speed, nonlinear_factor)
-    out = wsola_fast._wsola_grid_batch(
+    out = _run_grid_engine(
         mono,
         lengths.astype(jnp.int32),
         speeds,
@@ -370,8 +457,9 @@ def batched_nonlinear_speedup_multichannel(
         hop,
         gcap,
         K,
+        max_speed_plan,
+        mesh,
         xs_channels=jnp.transpose(xs, (0, 2, 1)),
-        max_speed_plan=max_speed_plan,
     )
     return BatchResult(out.output, out.valid_length, tension, speeds)
 

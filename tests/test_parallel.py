@@ -83,7 +83,10 @@ def test_padding_invariance():
 
 def test_mesh_sharded_matches_unsharded():
     """dp x tp mesh execution must be numerically equivalent to single-
-    device execution (collectives change layout, not values)."""
+    device execution (collectives change layout, not values) — INCLUDING
+    the resynthesized output waveform, not just tension/valid_length (the
+    WSOLA stage runs inside shard_map; a partitioning regression there
+    must fail this gate)."""
     if jax.device_count() < 4:
         pytest.skip("needs >= 4 devices")
     mesh = make_mesh(dp=jax.device_count() // 2, tp=2)
@@ -99,6 +102,78 @@ def test_mesh_sharded_matches_unsharded():
     np.testing.assert_array_equal(
         np.asarray(got.valid_length), np.asarray(ref.valid_length)
     )
+    # Output-waveform equality. tp-partitioned DFT matmuls reorder float
+    # reductions, so tension (and thus speeds) differ at the few-ulp
+    # level; the audio must still agree tightly sample-by-sample.
+    np.testing.assert_allclose(
+        np.asarray(got.output), np.asarray(ref.output), atol=2e-3
+    )
+    err = np.abs(np.asarray(got.output) - np.asarray(ref.output))
+    assert err.mean() < 1e-5, err.mean()
+
+
+def test_wsola_shard_map_matches_unsharded():
+    """The shard_map'd grid engine must produce the same audio as the
+    unsharded engine when fed identical speeds. Every row's computation is
+    device-local, but XLA's einsum rounding is batch-shape dependent
+    (B/dp-row shards vs the full batch), so the pitch parabola moves by
+    ulps and interpolated samples shift at the ~1e-4 level; anything
+    beyond that (silent replication, wrong rows, a broken collective)
+    fails this gate."""
+    if jax.device_count() < 4:
+        pytest.skip("needs >= 4 devices")
+    from speedy_tpu.ops import wsola_fast
+    from speedy_tpu.parallel.batch import _run_grid_engine
+
+    mesh = make_mesh(dp=4, tp=jax.device_count() // 4)
+    cfg = CFG16
+    B, L = 8, 8000
+    xs = jnp.asarray(make_batch(B=B, L=L))
+    lengths = jnp.asarray([L, L, 6000, 4000, L, 7000, L, 5000], jnp.int32)
+    F = L // cfg.frame_step_int
+    rng = np.random.default_rng(3)
+    speeds = jnp.asarray(
+        rng.uniform(1.2, 3.4, size=(B, F)).astype(np.float32)
+    )
+    minp, maxp = cfg.wsola_min_period, cfg.wsola_max_period
+    hop, gcap, K = wsola_fast.plan_grid(cfg, L, 1.0)
+    args = (xs, lengths, speeds, minp, maxp, cfg.frame_step_int, hop, gcap, K, 4.0)
+    ref = _run_grid_engine(*args, None)
+    got = jax.jit(lambda x, l, s: _run_grid_engine(
+        x, l, s, *args[3:], mesh))(xs, lengths, speeds)
+    np.testing.assert_array_equal(
+        np.asarray(got.valid_length), np.asarray(ref.valid_length)
+    )
+    err = np.abs(np.asarray(got.output) - np.asarray(ref.output))
+    assert err.max() < 1e-3 and err.mean() < 1e-5, (err.max(), err.mean())
+
+
+def test_wsola_shard_map_pads_ragged_batch():
+    """B not divisible by dp: the shard_map wrapper zero-pads and trims;
+    real rows must be untouched."""
+    if jax.device_count() < 4:
+        pytest.skip("needs >= 4 devices")
+    from speedy_tpu.ops import wsola_fast
+    from speedy_tpu.parallel.batch import _run_grid_engine
+
+    mesh = make_mesh(dp=4, tp=jax.device_count() // 4)
+    cfg = CFG16
+    B, L = 6, 6000  # 6 % 4 != 0
+    xs = jnp.asarray(make_batch(B=B, L=L))
+    lengths = jnp.asarray([L] * B, jnp.int32)
+    F = L // cfg.frame_step_int
+    speeds = jnp.full((B, F), 2.5, jnp.float32)
+    minp, maxp = cfg.wsola_min_period, cfg.wsola_max_period
+    hop, gcap, K = wsola_fast.plan_grid(cfg, L, 1.0)
+    args = (xs, lengths, speeds, minp, maxp, cfg.frame_step_int, hop, gcap, K, 4.0)
+    ref = _run_grid_engine(*args, None)
+    got = _run_grid_engine(*args, mesh)
+    assert got.output.shape == ref.output.shape
+    np.testing.assert_array_equal(
+        np.asarray(got.valid_length), np.asarray(ref.valid_length)
+    )
+    err = np.abs(np.asarray(got.output) - np.asarray(ref.output))
+    assert err.max() < 1e-3 and err.mean() < 1e-5, (err.max(), err.mean())
 
 
 def test_corpus_engine_end_to_end():

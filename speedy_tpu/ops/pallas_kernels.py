@@ -534,8 +534,11 @@ def gather_synth_block_pallas(
     caller sizes w_span from (wsola_fast: Hs*max_speed_plan steps plus a
     +-max_period/2 phase-snap jitter, absorbed by the alignment slack);
     pathological starts that concentrate a block's spread inside one
-    sub-block would select zeros SILENTLY. Not a concern for the
-    production caller, by construction.
+    sub-block select zeros. Not a concern for the production caller, by
+    construction — and the boundary is guarded: SPEEDY_VALIDATE_SPAN=1
+    NaN-poisons the output of any live violating block (in-graph), and
+    validate_span_contract() is the eager pre-dispatch check that raises
+    (tests/test_pallas_kernels.py::test_span_contract_*).
     """
     assert width == 2 * hop + 1
     B, L = x.shape
@@ -579,6 +582,15 @@ def gather_synth_block_pallas(
         jnp.int32
     )  # [B, NB]
     q8rel = q8s - rowoff[..., None]
+    # Span-contract detector (opt-in: SPEEDY_VALIDATE_SPAN=1). The
+    # hierarchical select silently yields zeros for any row whose tiles
+    # fall outside its sub-block's narrowed window; with the flag set,
+    # violating LIVE blocks poison the whole output with NaN so contract
+    # breaches fail loudly at the caller's quality gates instead of
+    # shipping silent garbage. Costs one extra elementwise pass over the
+    # output, so it is off in production (the planner guarantees the
+    # contract for the production caller — see validate_span_contract
+    # for the host-side eager check).
     q8k = (
         q8rel[:, :, :, None, :] + ktile[None, None, None, :, None]
     ).reshape(B, NB, nt * R, 1)
@@ -594,6 +606,26 @@ def gather_synth_block_pallas(
         if n_valid is None
         else jnp.minimum(-(-n_valid // R), NB).astype(jnp.int32)
     )
+    # Span-contract detector (opt-in: SPEEDY_VALIDATE_SPAN=1). The
+    # hierarchical select silently yields zeros for any row whose tiles
+    # fall outside its sub-block's narrowed window; with the flag set,
+    # violating LIVE blocks poison the whole output with NaN so contract
+    # breaches fail loudly at the caller's quality gates instead of
+    # shipping silent garbage. One extra elementwise pass over the
+    # output, so off by default (the production planner guarantees the
+    # contract by construction — see validate_span_contract for the
+    # host-side eager check).
+    poison = None
+    if os.environ.get("SPEEDY_VALIDATE_SPAN", "0") == "1":
+        sub_viol = jnp.any(
+            (q8rel < 0) | (q8rel + nt > w_sub_rows), axis=(2, 3)
+        )  # [B, NB]: a sub-block's spread exceeds its narrowed window
+        blk_viol = jnp.max(q8, axis=2) + nt > w_rows  # DMA span overrun
+        live = jnp.arange(NB, dtype=jnp.int32)[None, :] < nvb[:, None]
+        bad = jnp.any((sub_viol | blk_viol) & live)
+        poison = jnp.where(
+            bad, jnp.asarray(np.nan, x.dtype), jnp.asarray(1.0, x.dtype)
+        )
 
     from .wsola_fast import _cola_hann  # COLA window, host-exact
 
@@ -674,7 +706,64 @@ def gather_synth_block_pallas(
         o[:, :, t, :, : min(128, hop - t * 128)] for t in range(ts)
     ]
     slots = jnp.concatenate(pieces, axis=-1) if ts > 1 else pieces[0][..., :hop]
+    if poison is not None:
+        slots = slots * poison
     return slots.reshape(B, NB * R, hop)[:, :K]
+
+
+def validate_span_contract(
+    starts: np.ndarray,
+    width: int,
+    rows_per_block: int,
+    w_span: int,
+    n_valid: Optional[np.ndarray] = None,
+) -> None:
+    """Eager, host-side check of gather_synth_block_pallas's span
+    contract (same arithmetic as the wrapper, in numpy): raises
+    ValueError naming the first violating (batch, block) if any LIVE
+    block's starts overrun the span DMA or concentrate a 16-row
+    sub-block's spread beyond its narrowed selection window. Use before
+    dispatch in debug/bring-up paths; the in-graph equivalent is the
+    SPEEDY_VALIDATE_SPAN=1 NaN-poison check."""
+    starts = np.asarray(starts)
+    B, K = starts.shape
+    R = rows_per_block
+    NB = -(-K // R)
+    if NB * R != K:
+        starts = np.concatenate(
+            [starts, np.tile(starts[:, -1:], (1, NB * R - K))], axis=1
+        )
+    nt = (width + 127) // 128 + 1
+    w_rows = -(-((w_span + 1024) // 128 + nt + 8) // 8) * 8
+    s2 = starts.reshape(B, NB, R)
+    base_al = (np.min(s2, axis=2) // 1024) * 1024
+    offs = (s2 - base_al[:, :, None]).astype(np.int64)
+    q8 = offs // 128
+    SR = min(16, R)
+    SB = R // SR
+    step_ub = -(-w_span // max(R - 1, 1))
+    w_sub = (SR - 1) * step_ub + width + 32 + 1024
+    w_sub_rows = min(w_rows, -(-(-(-w_sub // 128) + nt + 8) // 8) * 8)
+    q8s = q8.reshape(B, NB, SB, SR)
+    rowoff = np.clip((np.min(q8s, axis=3) // 8) * 8, 0, w_rows - w_sub_rows)
+    q8rel = q8s - rowoff[..., None]
+    live = np.ones((B, NB), bool)
+    if n_valid is not None:
+        nvb = np.minimum(-(-np.asarray(n_valid) // R), NB)
+        live = np.arange(NB)[None, :] < nvb[:, None]
+    sub_viol = np.any((q8rel < 0) | (q8rel + nt > w_sub_rows), axis=(2, 3))
+    blk_viol = np.max(q8, axis=2) + nt > w_rows
+    bad = (sub_viol | blk_viol) & live
+    if bad.any():
+        b, nb = np.argwhere(bad)[0]
+        spread = int(s2[b, nb].max() - s2[b, nb].min())
+        raise ValueError(
+            f"span contract violated at batch {b}, block {nb}: row-start "
+            f"spread {spread} (+width {width}) exceeds the w_span={w_span} "
+            f"plan ({'sub-block window' if sub_viol[b, nb] else 'span DMA'} "
+            f"overrun); raise max_speed_plan / w_span or use the per-row "
+            f"gather path"
+        )
 
 
 def _gather_block_kernel(

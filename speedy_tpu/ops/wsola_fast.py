@@ -39,6 +39,7 @@ Teager rel-sigma is ~2x BETTER than the reference engine's.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -443,7 +444,13 @@ def _wsola_grid_batch(
         # Rows whose output slot is past valid_s contribute nothing the
         # capacity mask keeps; skip their DMAs.
         valid_rows = jnp.minimum(valid_s // Hs + 2, K)
-        if w_span is not None and jax.default_backend() == "tpu":
+        # SPEEDY_FORCE_FUSED_SYNTH=interpret routes the fused kernel
+        # through Pallas interpret mode off-TPU, so the hermetic CPU
+        # suite can exercise the PRODUCTION synthesis wiring end-to-end
+        # (tests/test_pallas_kernels.py::test_grid_pipeline_fused_synth).
+        force_fused = os.environ.get("SPEEDY_FORCE_FUSED_SYNTH", "")
+        on_tpu = jax.default_backend() == "tpu"
+        if w_span is not None and (on_tpu or force_fused == "interpret"):
             # Fused kernel: span gather + interp + window + OLA in VMEM,
             # emitting final slots — the separate gather + XLA interp
             # pipeline moves ~1.1 GB/step of HBM padding at these shapes.
@@ -452,6 +459,7 @@ def _wsola_grid_batch(
             slots = gather_synth_block_pallas(
                 src_pad, a_i_s + pad_front, a_f_s, Hs, Wn + 1,
                 span_rows, w_span, valid_rows,
+                interpret=not on_tpu,
             )  # [N, K, Hs]
             out_full = slots.reshape(n, K * Hs)
         else:

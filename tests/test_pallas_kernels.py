@@ -156,6 +156,111 @@ def test_fused_synth_kernel_n_valid_skip():
         )
 
 
+def _pathological_starts(hop=160, K=300, B=2, L=400000):
+    """Starts that satisfy the BLOCK-level span bound but concentrate a
+    ~100k-sample jump inside one 16-row sub-block — exactly the case the
+    fused kernel's hierarchical select cannot represent (its narrowed
+    sub-block window is ~16k samples)."""
+    width = 2 * hop + 1
+    R = 128
+    need = (R - 1) * int(np.ceil(hop * 6.0)) + width + 32
+    w_span = -(-need // 1024) * 1024
+    starts = np.cumsum(np.full((B, K), hop, np.int64), axis=1)
+    starts[:, 8:16] += w_span - width - 4096  # inside sub-block 0 of block 0
+    starts = np.minimum(starts, L - width - 1).astype(np.int32)
+    return starts, width, R, w_span
+
+
+def test_span_contract_validator_accepts_production_starts():
+    rng = np.random.default_rng(2)
+    hop, K, B = 160, 300, 3
+    width = 2 * hop + 1
+    R = 128
+    need = (R - 1) * int(np.ceil(hop * 6.0)) + width + 32
+    w_span = -(-need // 1024) * 1024
+    steps = rng.uniform(hop * 0.5, hop * 5.5, (B, K))
+    starts = np.cumsum(steps, axis=1).astype(np.int32)
+    pk.validate_span_contract(starts, width, R, w_span)  # must not raise
+
+
+def test_span_contract_validator_rejects_pathological():
+    starts, width, R, w_span = _pathological_starts()
+    with pytest.raises(ValueError, match="span contract violated"):
+        pk.validate_span_contract(starts, width, R, w_span)
+    # ...but the violating block is DEAD for utterance 1 -> no error.
+    nv = np.array([0, 300], np.int32)
+    starts2 = starts.copy()
+    starts2[1] = np.cumsum(np.full(starts.shape[1], 160, np.int64)).astype(
+        np.int32
+    )
+    pk.validate_span_contract(starts2, width, R, w_span, n_valid=nv)
+
+
+def test_span_contract_nan_poison(monkeypatch):
+    """SPEEDY_VALIDATE_SPAN=1 turns a (previously silent-zero) span
+    contract violation into loud NaNs; clean inputs stay NaN-free."""
+    starts, width, R, w_span = _pathological_starts(B=1, K=300)
+    hop = (width - 1) // 2
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 400000)).astype(np.float32))
+    af = jnp.asarray(rng.uniform(0, 1, starts.shape).astype(np.float32))
+
+    monkeypatch.setenv("SPEEDY_VALIDATE_SPAN", "1")
+    pk.gather_synth_block_pallas.clear_cache()
+    try:
+        got = np.asarray(
+            pk.gather_synth_block_pallas(
+                x, jnp.asarray(starts), af, hop, width, R, w_span,
+                interpret=True,
+            )
+        )
+        assert np.isnan(got).all(), "violation must poison the output"
+        clean = np.cumsum(np.full((1, 300), hop, np.int64)).astype(np.int32)
+        ok = np.asarray(
+            pk.gather_synth_block_pallas(
+                x, jnp.asarray(clean.reshape(1, -1)), af, hop, width, R,
+                w_span, interpret=True,
+            )
+        )
+        assert np.isfinite(ok).all()
+    finally:
+        pk.gather_synth_block_pallas.clear_cache()
+
+
+def test_grid_pipeline_fused_synth(monkeypatch):
+    """ADVICE r1: run the PRODUCTION fused-synthesis wiring (kernel in
+    interpret mode) through the full _wsola_grid_batch pipeline on CPU
+    and pin it against the XLA-composition synthesis path — catches
+    pipeline-level regressions in the kernel wiring hermetically."""
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.ops import wsola_fast as wf
+
+    cfg = SpeedyConfig(16000)
+    rng = np.random.default_rng(9)
+    L = 16000
+    t = np.arange(L) / 16000.0
+    x = (
+        0.4 * np.sin(2 * np.pi * 170 * t) * np.clip(np.sin(2 * np.pi * 3 * t), 0, None)
+        + 0.002 * rng.standard_normal(L)
+    ).astype(np.float32)
+    F = L // cfg.frame_step_int
+    speeds = np.linspace(1.5, 3.4, F).astype(np.float32)
+
+    ref = wf.time_scale_grid(x, speeds, cfg, max_speed_bound=4.0)
+    ref_out = np.asarray(ref.output)
+
+    monkeypatch.setenv("SPEEDY_FORCE_FUSED_SYNTH", "interpret")
+    wf._wsola_grid_batch.clear_cache()
+    try:
+        got = wf.time_scale_grid(x, speeds, cfg, max_speed_bound=4.0)
+        assert int(got.valid_length) == int(ref.valid_length)
+        np.testing.assert_allclose(
+            np.asarray(got.output), ref_out, rtol=0, atol=2e-5
+        )
+    finally:
+        wf._wsola_grid_batch.clear_cache()
+
+
 def test_pitch_ssd_kernel_interpret_matches_xla():
     """pitch_ssd_pallas (kept as a documented measured-equal alternative
     to the production einsum path) must agree with ssd_matmul +

@@ -37,16 +37,9 @@ def main():
     # Persistent compilation cache: the scan-window program costs minutes
     # of remote compile cold; cache hits bring a fresh-process bench run
     # down to seconds of setup.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get(
-                "SPEEDY_JAX_CACHE", os.path.expanduser("~/.cache/speedy_jax")
-            ),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax without the knobs
+    from speedy_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
 
@@ -69,18 +62,45 @@ def main():
     iters = int(os.environ.get("SPEEDY_BENCH_ITERS", "192"))
     serial = os.environ.get("SPEEDY_BENCH_SERIAL", "0") == "1"
 
-    # Speech-like test signal: pitch-modulated harmonics with syllabic
-    # envelope, amplitude-varied per utterance and iteration.
+    # Heterogeneous workload: FOUR distinct signal families interleaved
+    # across the batch (round 1 benched a single synthetic utterance;
+    # pitch structure, speed trajectory, and the valid-row DMA skip ratio
+    # all depend on signal content, so a single family can flatter the
+    # number). Families: male-ish speech, female-ish speech with faster
+    # syllables, unvoiced noise bursts, and a pitch-chirped sweep.
     rng = np.random.default_rng(0)
     t = np.arange(L) / sample_rate
-    f0 = 110.0 + 30.0 * np.sin(2 * np.pi * 0.7 * t)
-    phase = np.cumsum(2 * np.pi * f0 / sample_rate)
-    voiced = sum(np.sin(k * phase) / k for k in range(1, 6))
-    envelope = np.clip(np.sin(2 * np.pi * 2.5 * t), 0, None)
-    base = (voiced * envelope * 0.2).astype(np.float32)
 
+    def speechlike(f0_base, f0_mod, f0_rate, syll_hz, n_harm):
+        f0 = f0_base + f0_mod * np.sin(2 * np.pi * f0_rate * t)
+        phase = np.cumsum(2 * np.pi * f0 / sample_rate)
+        voiced = sum(np.sin(k * phase) / k for k in range(1, n_harm + 1))
+        envelope = np.clip(np.sin(2 * np.pi * syll_hz * t), 0, None)
+        return (voiced * envelope * 0.2).astype(np.float32)
+
+    fam0 = speechlike(110.0, 30.0, 0.7, 2.5, 5)   # round-1 signal
+    fam1 = speechlike(210.0, 45.0, 1.3, 4.0, 7)   # higher pitch, faster
+    bursts = (np.sin(2 * np.pi * 3.1 * t) > 0.3).astype(np.float32)
+    fam2 = (rng.standard_normal(L) * 0.12 * bursts).astype(np.float32)
+    chirp_f0 = 90.0 + 160.0 * (0.5 + 0.5 * np.sin(2 * np.pi * 0.11 * t))
+    phase_c = np.cumsum(2 * np.pi * chirp_f0 / sample_rate)
+    fam3 = (
+        (np.sin(phase_c) + 0.5 * np.sin(2 * phase_c))
+        * np.clip(np.sin(2 * np.pi * 1.8 * t + 0.7), 0, None)
+        * 0.2
+    ).astype(np.float32)
+    families = np.stack([fam0, fam1, fam2, fam3])  # [4, L]
+    # Row b of every batch runs family b % 4 — each dispatched batch is
+    # heterogeneous; per-iteration amplitudes keep inputs distinct.
+    base_rows = families[np.arange(B) % len(families)]  # [B, L]
+
+    # Always build the mesh — even at n_dev=1 — so the benchmarked program
+    # is the meshed one (analysis under sharding constraints, WSOLA inside
+    # shard_map over 'dp'): the single real chip exercises exactly the
+    # path a pod slice would run. SPEEDY_BENCH_NO_MESH=1 restores the
+    # bare program for A/B measurement.
     mesh = None
-    if n_dev > 1:
+    if os.environ.get("SPEEDY_BENCH_NO_MESH", "0") != "1":
         from speedy_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(tp=1)
@@ -96,7 +116,7 @@ def main():
 
     def fresh_np():
         amp = rng.uniform(0.5, 1.0, size=(B, 1)).astype(np.float32)
-        return np.tile(base, (B, 1)) * amp
+        return base_rows * amp
 
     def fresh():
         return jnp.asarray(fresh_np())
@@ -122,17 +142,17 @@ def main():
         # inputs — re-running the same device buffers would let the relay
         # result-cache serve the second window instantly and min() would
         # pick the bogus one.
-        # Inputs are built ON DEVICE from the staged base signal and
+        # Inputs are built ON DEVICE from the staged base signals and
         # per-iteration amplitude vectors (a [B, L] broadcast-multiply per
         # step, counted against us): shipping 2 windows x iters x B x L
         # floats through the relay costs minutes of wall clock and the
         # dispatch floor is byte-independent anyway. Every iteration still
         # sees a DISTINCT input and yields a distinct fetched checksum.
-        base_d = jnp.asarray(base)
+        base_d = jnp.asarray(base_rows)  # [B, L], 4 families interleaved
 
         def scan_fn(amps, lens):
             def body(_, amp):
-                xs = base_d[None, :] * amp
+                xs = base_d * amp
                 s, v = fn(xs, lens)
                 return 0, s
             _, sums = jax.lax.scan(body, 0, amps)

@@ -138,6 +138,16 @@ class SpeedyConfig:
     def wsola_max_period(self) -> int:
         return int(self.sample_rate // WSOLA_MIN_PITCH_HZ)
 
+    def bin_to_freq(self, bin_number: int) -> float:
+        """Center frequency (Hz) of a spectrogram bin
+        (speedyBinToFreq, /root/reference/speedy.h:94, speedy.c:345-348)."""
+        return bin_number * (self.sample_rate / float(self.fft_size))
+
+    def freq_to_bin(self, freq: float) -> int:
+        """Spectrogram bin nearest a frequency in Hz
+        (speedyFreqToBin, /root/reference/speedy.h:95, speedy.c:350-353)."""
+        return int(round(freq * self.fft_size / float(self.sample_rate)))
+
     def num_frames(self, num_samples: int, integer_step: bool = False) -> int:
         """Frame count for an utterance of `num_samples` samples.
 

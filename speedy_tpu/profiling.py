@@ -11,8 +11,29 @@ CLI dump files. The rebuild exposes:
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Dict, Iterator, Optional
+
+
+def enable_compile_cache(path: Optional[str] = None) -> None:
+    """Point jax at a persistent compilation cache (remote TPU compiles
+    take minutes; cache hits bring fresh-process startup down to seconds).
+    Shared by bench.py and __graft_entry__.py so the two entry points
+    cannot drift. No-op on jax builds without the knobs."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            path
+            or os.environ.get(
+                "SPEEDY_JAX_CACHE", os.path.expanduser("~/.cache/speedy_jax")
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 @contextlib.contextmanager

@@ -315,3 +315,15 @@ def test_batched_analysis_short_utterance():
             xs, jnp.asarray(np.full((2,), L, np.int32)), cfg, 3.0, 1.0, 0.1
         )
         assert np.asarray(out.valid_length).min() >= 0
+
+
+def test_bin_freq_helpers():
+    """speedyBinToFreq / speedyFreqToBin parity (speedy.c:345-353):
+    bin * (fs/fft) and lround(freq * fft / fs)."""
+    assert CFG.fft_size == 660
+    assert CFG.bin_to_freq(0) == 0.0
+    np.testing.assert_allclose(CFG.bin_to_freq(10), 10 * SR / 660.0)
+    assert CFG.freq_to_bin(1000.0) == int(round(1000.0 * 660 / SR))
+    for f in (0.0, 65.0, 400.0, 1000.0, 5000.0, SR / 2.0):
+        b = CFG.freq_to_bin(f)
+        assert CFG.freq_to_bin(CFG.bin_to_freq(b)) == b

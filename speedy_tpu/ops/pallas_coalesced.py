@@ -116,7 +116,7 @@ def gather_rows_coalesced(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, K // RPB),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, RPB, wsubs, 128),
             lambda b, kb, starts: (b, kb, 0, 0),

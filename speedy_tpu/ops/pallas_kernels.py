@@ -110,7 +110,7 @@ def gather_rows_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, K // rows_per_block),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, rows_per_block, wsubs, 128),
             lambda b, kb, nvalid, starts: (b, kb, 0, 0),
@@ -267,7 +267,7 @@ def gather_rows_pipelined(x: jnp.ndarray, starts: jnp.ndarray, width: int):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, K, wsubs, 128),
             lambda b, starts: (b, 0, 0, 0),
@@ -662,9 +662,9 @@ def gather_synth_block_pallas(
                 (win_rows, 128), lambda b, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, w_rows, 128), x.dtype),
             pltpu.VMEM((8, 128), x.dtype),
@@ -898,7 +898,7 @@ def gather_rows_block_pallas(
                 (1, 1, R * nt, 1), lambda b, nb, *_: (b, nb, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, R * nt, 128), lambda b, nb, *_: (b, nb, 0, 0),

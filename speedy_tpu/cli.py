@@ -6,7 +6,7 @@ Usage:
       [--duration_feedback_strength 0.1] [--rate 1.0]
       [--tension_file F] [--speed_file F] [--features_file F]
       [--spectrogram_file F] [--normalized_spectrogram_file F]
-      [--engine stream|scan|grid]
+      [--engine stream|scan|grid|device-stream]
 
 Flag set mirrors speedy_wave.cc:257-277, including:
   --match_nonlinear : run speedy once to measure the achieved rate, then
@@ -55,6 +55,21 @@ def compress_sound(
     if engine == "stream" or needs_stream:
         out = _compress_streaming(
             samples, sr, num_channels, speed, nonlinear, feedback, rate, dump_files
+        )
+    elif engine == "device-stream":
+        # Unbounded-length device pipeline (streaming_device.py): bounded
+        # memory regardless of file length — the long-file serving path.
+        from .streaming_device import DeviceStreamingPipeline
+
+        is_int = samples.dtype == np.int16
+        xf = samples.astype(np.float32) / 32768.0 if is_int else samples
+        y = DeviceStreamingPipeline(
+            SpeedyConfig(sr), speed, nonlinear, feedback
+        ).process(xf)
+        out = (
+            np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
+            if is_int
+            else y
         )
     else:
         from .pipeline import nonlinear_speedup
@@ -151,7 +166,7 @@ def main(argv=None) -> int:
     ap.add_argument("--features_file", "-f", default="")
     ap.add_argument("--spectrogram_file", "-S", default="")
     ap.add_argument("--normalized_spectrogram_file", "-N", default="")
-    ap.add_argument("--engine", choices=("stream", "scan", "grid"),
+    ap.add_argument("--engine", choices=("stream", "scan", "grid", "device-stream"),
                     default="stream")
     args = ap.parse_args(argv)
 

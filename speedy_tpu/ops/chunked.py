@@ -101,9 +101,6 @@ def chunked_tension(
     """
     dtype = x.dtype
     step = cfg.frame_step_int
-    W = cfg.window_size
-    fut = cfg.hysteresis_future
-    past = cfg.hysteresis_past
     Ch = chunk_frames
     T = cfg.num_frames(x.shape[-1], integer_step=True) if num_frames is None else num_frames
     T_out = cfg.num_tension_frames(T)
@@ -119,10 +116,33 @@ def chunked_tension(
     )
     xs_scan = x_pad.reshape(n_chunks, Ch * step)
 
+    carry0, body = make_chunk_step(cfg, Ch, np.dtype(dtype).name)
+    _, tension_chunks = jax.lax.scan(
+        body, carry0, (jnp.arange(n_chunks), xs_scan)
+    )
+    flat = tension_chunks.reshape(-1)  # flat[t + 2 + fut] = tension[t]
+    fut = cfg.hysteresis_future
+    return jax.lax.slice_in_dim(flat, 2 + fut, 2 + fut + T_out)
+
+
+def make_chunk_step(cfg: SpeedyConfig, chunk_frames: int, dtype: str = "float32"):
+    """The O(1)-state analysis step: returns (carry0, step_fn) with
+    step_fn(carry, (k, samples[Ch*step])) -> (carry, tension[Ch]), the
+    lax.scan body of chunked_tension. Exposed so a host-driven streaming
+    loop (streaming_device.py) can jit ONE step and pump arbitrarily long
+    audio through it segment by segment. Chunk k's tension slots cover
+    frames [k*Ch - 2 - fut, (k+1)*Ch - 2 - fut); slots with negative
+    frame index are garbage the caller drops."""
+    dtype = np.dtype(dtype).type(0).dtype
+    step = cfg.frame_step_int
+    W = cfg.window_size
+    fut = cfg.hysteresis_future
+    past = cfg.hysteresis_past
+    Ch = chunk_frames
     tail_len = W + 2 * step
-    win = jnp.asarray(dft.hamming_window(W, np.dtype(dtype).name))
+    win = jnp.asarray(dft.hamming_window(W, dtype.name))
     cos_m, sin_m = (
-        jnp.asarray(m) for m in dft.dft_matrices(W, np.dtype(dtype).name)
+        jnp.asarray(m) for m in dft.dft_matrices(W, dtype.name)
     )
     alpha = cfg.lpf_alpha
     eps = jnp.asarray(C.EPS, dtype)
@@ -231,11 +251,7 @@ def chunked_tension(
         ec_ring=jnp.zeros((past + fut,), dtype),
         sp_ring=jnp.zeros((fut + 2, W), dtype),
     )
-    _, tension_chunks = jax.lax.scan(
-        body, carry0, (jnp.arange(n_chunks), xs_scan)
-    )
-    flat = tension_chunks.reshape(-1)  # flat[t + 2 + fut] = tension[t]
-    return jax.lax.slice_in_dim(flat, 2 + fut, 2 + fut + T_out)
+    return carry0, body
 
 
 def chunked_speeds(

@@ -19,7 +19,7 @@ import numpy as np
 from .. import config as C
 
 
-@functools.partial(jax.jit, static_argnames=("initial_durations",))
+@jax.jit
 def speed_from_tension(
     tension: jnp.ndarray,
     global_rate,

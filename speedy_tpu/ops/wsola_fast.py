@@ -252,6 +252,7 @@ def _gather_rows_spans(
         "num_chunks",
         "max_speed_plan",
         "span_rows",
+        "mask_output",
     ),
 )
 def _wsola_grid_batch(
@@ -270,6 +271,10 @@ def _wsola_grid_batch(
     # 128 -> 84.6k, 256 -> 84.2k audio-s/s/chip at the 3.5x bench point);
     # also halves the worst-case span DMA width vs 128.
     span_rows: int = 64,
+    in_offset: Optional[jnp.ndarray] = None,
+    out_shift: Optional[jnp.ndarray] = None,
+    phase_ref: Optional[jnp.ndarray] = None,
+    mask_output: bool = True,
 ) -> WsolaResult:
     """xs[B, L], input_lengths[B], speeds[B, F] -> WsolaResult with
     output[B, capacity], valid_length[B].
@@ -283,7 +288,21 @@ def _wsola_grid_batch(
     speed. When set, speeds are clamped to it (the ceiling analog of the
     engine's min_speed_bound floor) and synthesis uses the block-span
     gather (_gather_rows_spans) whose span width it sizes — the TPU fast
-    path. When None, the per-row gather is used and speeds are unbounded."""
+    path. When None, the per-row gather is used and speeds are unbounded.
+
+    Streaming-continuation hooks (streaming_device.py; all default to the
+    single-shot behavior):
+      in_offset [B]:  sample position of speed-frame 0 within xs (the
+                      segment buffer carries a left margin);
+      out_shift [B]:  output-clock offset of local chunk 0 relative to
+                      the passed frames' output start (local chunk j sits
+                      at output out_shift + j*hop of the passed frames);
+      phase_ref [B]:  phase-snap reference replacing c[:, :1], so the
+                      wrap alignment continues the previous segment's
+                      global clock instead of restarting;
+      mask_output:    False returns every computed slot un-zeroed (the
+                      caller owns trimming; valid_length is still the
+                      local time-map estimate)."""
     dtype = xs.dtype
     B, L = xs.shape
     if max_speed_plan is not None:
@@ -322,6 +341,9 @@ def _wsola_grid_batch(
     valid = jnp.minimum(jnp.round(out_len).astype(jnp.int32), capacity)
 
     p = jnp.arange(K, dtype=dtype) * Hs  # output grid positions [K]
+    p_b = p[None, :] + (
+        out_shift[:, None].astype(dtype) if out_shift is not None else 0.0
+    )  # [B, K]
     # Invert the monotone time map: frame f owns output positions in
     # [obnd[f], obnd[f+1]), the last frame also owns the tail. A fused
     # compare-select-reduce over the frame axis replaces searchsorted +
@@ -330,12 +352,14 @@ def _wsola_grid_batch(
     # [B, K, F] mask).
     lo = obnd[:, None, :-1]  # [B, 1, F]
     hi_b = obnd[:, None, 1:]
-    pk = p[None, :, None]
+    pk = p_b[:, :, None]
     sel = (lo <= pk) & ((pk < hi_b) | (jnp.arange(n_frames) == n_frames - 1))
     sp_f = jnp.sum(jnp.where(sel, speeds[:, None, :], 0), axis=-1)
     ob_f = jnp.sum(jnp.where(sel, lo, 0), axis=-1)
     fidx = jnp.sum(jnp.where(sel, jnp.arange(n_frames, dtype=dtype), 0), axis=-1)
-    c = fidx * frame_step + (p[None, :] - ob_f) * sp_f  # [B, K]
+    c = fidx * frame_step + (p_b - ob_f) * sp_f  # [B, K]
+    if in_offset is not None:
+        c = c + in_offset[:, None].astype(dtype)
     c = jnp.clip(c, 0.0, jnp.maximum(lens_f - 1.0, 0.0)[:, None])
 
     seg_w = taps + maxp
@@ -418,7 +442,8 @@ def _wsola_grid_batch(
     # resynthesis is now parallel (verified against the scan form by the
     # Teager and DTW gates; measured identical rel-sigma).
     kk = jnp.arange(K, dtype=dtype)[None, :]
-    delta = c[:, :1] + kk * Hs - c
+    pr = c[:, :1] if phase_ref is None else phase_ref[:, None].astype(dtype)
+    delta = pr + kk * Hs - c
     o = delta - jnp.round(delta / period) * period
     a = jnp.clip(c + o, 0.0, (lens_f - 1.0)[:, None])  # [B, K]
 
@@ -489,8 +514,11 @@ def _wsola_grid_batch(
             idx[None, :] < valid_s[:, None], out_full[:, :capacity], 0.0
         )
 
+    # mask_output=False (streaming continuation): every slot is real
+    # output owned by the caller — no zero-mask, no valid-row DMA skips.
+    valid_m = valid if mask_output else jnp.full((B,), capacity, jnp.int32)
     if xs_channels is None:
-        out = synth(x_pad, a_i, a_f, valid)
+        out = synth(x_pad, a_i, a_f, valid_m)
     else:
         C = xs_channels.shape[1]
         ch_pad = jnp.concatenate(
@@ -502,10 +530,21 @@ def _wsola_grid_batch(
             axis=2,
         ).reshape(B * C, -1)
         rep = lambda v: jnp.repeat(v, C, axis=0)
-        out = synth(ch_pad, rep(a_i), rep(a_f), rep(valid)).reshape(
+        out = synth(ch_pad, rep(a_i), rep(a_f), rep(valid_m)).reshape(
             B, C, capacity
         )
     return WsolaResult(out, valid, jnp.full((B,), K, jnp.int32))
+
+
+def pitch_grid_stride(cfg: SpeedyConfig, hop: Optional[int] = None) -> int:
+    """The engine's pitch-grid cell stride G for a given hop (must mirror
+    the G computation inside _wsola_grid_batch: taps = maxp, seg_w =
+    taps + maxp). streaming_device.py aligns segment buffers to G so a
+    source position's pitch estimate is identical in every segment."""
+    if hop is None:
+        hop = max(32, cfg.frame_step_int)
+    seg_w = 2 * cfg.wsola_max_period
+    return -(-max(3 * hop, seg_w) // 128) * 128
 
 
 def plan_grid(

@@ -1,0 +1,340 @@
+"""Unbounded wav -> wav nonlinear speedup on device with bounded memory.
+
+`DeviceStreamingPipeline` is the serving-side composition of the O(1)-state
+building blocks: arbitrarily long audio streams through fixed-size jitted
+device programs —
+
+  1. ANALYSIS: the chunked scan step (ops/chunked.py::make_chunk_step)
+     carrying the reference's ring state (~4 KB);
+  2. SPEED LAW: ops/speed.py::speed_from_tension seeded with the carried
+     duration integrator (the law is O(1)-state by construction);
+  3. WSOLA: the grid engine (ops/wsola_fast.py) called per SEGMENT with
+     the streaming-continuation hooks (in_offset / out_shift / phase_ref /
+     mask_output=False), so consecutive segments share one global output
+     clock and phase-snap reference.
+
+Seamlessness is by construction, not crossfading: segment k's first local
+chunk is the PREVIOUS segment's last emitted chunk recomputed (its slot is
+dropped; only its windowed second half feeds the overlap-add of the first
+emitted slot), and the segment source buffer starts on a pitch-grid
+multiple (wsola_fast.pitch_grid_stride) so every source position's pitch
+estimate is identical in every segment. The two computations of the shared
+chunk agree to float-ulp, so the seam is invisible — gated by the
+single-shot-equality and Teager tests in tests/test_streaming_device.py.
+
+Host memory is bounded by one segment plus margins (raw ring buffer,
+pruned as both cursors advance); device memory by the per-segment program
+shapes. The reference's own streaming shim is O(1)-state sample-serial C
+(soniclib.c:427-450); this is its corpus-throughput-grade device analog.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as C
+from .config import SpeedyConfig
+from .ops import wsola_fast
+from .ops.chunked import make_chunk_step
+from .ops.speed import speed_from_tension
+
+
+class DeviceStreamingPipeline:
+    """Streaming nonlinear speedup: feed() audio chunks of any size,
+    receive sped-up audio incrementally; flush() drains the tail at the
+    last computed speed (the shim's flush contract, soniclib.c:529-552).
+
+    Mono float32 (±1) in/out. One jitted program per (analysis-chunk,
+    segment) shape — independent of total stream length.
+    """
+
+    # Analysis frames per device chunk and WSOLA frames per device segment.
+    def __init__(
+        self,
+        cfg: SpeedyConfig,
+        global_speed: float,
+        nonlinear_factor: float = 1.0,
+        duration_feedback_strength: float = 0.1,
+        chunk_frames: int = 128,
+        segment_frames: int = 512,
+        min_speed_bound: Optional[float] = None,
+        max_speed_bound: Optional[float] = None,
+    ):
+        self.cfg = cfg
+        self.rg = float(global_speed)
+        self.nl = float(nonlinear_factor)
+        self.fb = float(duration_feedback_strength)
+        self.step = cfg.frame_step_int
+        self.W = cfg.window_size
+        self.fut = cfg.hysteresis_future
+        self.Ch = chunk_frames
+        self.Fseg = segment_frames
+        self.Hs = max(32, self.step)
+        assert self.Hs == self.step, "streaming assumes hop == frame step"
+        if min_speed_bound is None:
+            min_speed_bound = (
+                1.0 if self.rg >= 1.0 else max(C.MIN_SPEED, 0.3 * self.rg)
+            )
+        self.min_sb = float(min_speed_bound)
+        if max_speed_bound is None:
+            from .parallel.batch import _plan_max_speed
+
+            max_speed_bound = _plan_max_speed(self.rg, self.nl)
+        self.max_sb = float(max_speed_bound)
+
+        # --- static segment geometry ---
+        self.G = wsola_fast.pitch_grid_stride(cfg, self.Hs)
+        maxp = cfg.wsola_max_period
+        self.LOOKBACK = max(32, int(2 * self.max_sb) + 8)
+        self.F_in = self.Fseg + self.LOOKBACK
+        self.front_margin = maxp + 64
+        self.back_margin = self.G // 2 + 2 * maxp + 2 * self.Hs + 64
+        L_need = (
+            self.front_margin
+            + self.G  # s0 alignment slack
+            + self.F_in * self.step
+            + self.back_margin
+        )
+        self.L_seg = -(-L_need // self.G) * self.G
+        n_slots_max = int(np.ceil(self.Fseg / self.min_sb)) + 2
+        self.K_st = n_slots_max + 4
+        self.capacity = (self.K_st - 1) * self.Hs
+
+        # --- device programs (compiled lazily, cached by jit) ---
+        carry0, chunk_body = make_chunk_step(cfg, self.Ch)
+        self._an_carry = carry0
+        self._an_step = jax.jit(chunk_body)
+
+        # --- mutable stream state ---
+        self._raw = np.zeros(0, np.float32)  # retained samples
+        self._raw_base = 0                   # global index of _raw[0]
+        self._fed = 0                        # total samples fed
+        self._k = 0                          # analysis chunks run
+        self._t_emitted = 0                  # tension frames produced
+        self._speeds: List[float] = []       # per-frame speeds (clamped)
+        self._obnd = [0.0]                   # float64 output prefix per frame
+        self._sp_base = 0                    # frame index of _speeds[0]
+        self._law_carry = (0.0, 0.0)         # duration integrator
+        self._f_done = 0                     # frames consumed by WSOLA
+        self._S = 0                          # output slots emitted
+        self._out: List[np.ndarray] = []     # drained output chunks
+        self._flushed = False
+
+    # ---------- internals ----------
+
+    def _analysis_ready(self) -> bool:
+        return (self._k + 1) * self.Ch * self.step <= self._fed
+
+    def _run_analysis_chunk(self, samples: np.ndarray):
+        carry, tension = self._an_step(
+            self._an_carry, (jnp.asarray(self._k, jnp.int32), jnp.asarray(samples))
+        )
+        self._an_carry = carry
+        t = np.asarray(tension)
+        # Chunk k emits tension frames [k*Ch - 2 - fut, (k+1)*Ch - 2 - fut).
+        t0 = self._k * self.Ch - 2 - self.fut
+        lo = max(0, -t0)
+        self._k += 1
+        return t[lo:]
+
+    def _extend_speeds(self, tension: np.ndarray):
+        if tension.size == 0:
+            return
+        speeds, carry = speed_from_tension(
+            jnp.asarray(tension, jnp.float32),
+            self.rg,
+            self.fb,
+            self.nl,
+            initial_durations=self._law_carry,
+        )
+        self._law_carry = (float(carry[0]), float(carry[1]))
+        sp = np.clip(np.asarray(speeds, np.float64), self.min_sb, self.max_sb)
+        for s in sp:
+            self._speeds.append(float(s))
+            self._obnd.append(self._obnd[-1] + self.step / float(s))
+        self._t_emitted += tension.size
+
+    def _obnd_at(self, frame: int) -> float:
+        return self._obnd[frame - self._sp_base]
+
+    def _speed_at(self, frame: int) -> float:
+        i = frame - self._sp_base
+        return self._speeds[min(i, len(self._speeds) - 1)]
+
+    def _frames_with_speeds(self) -> int:
+        return self._sp_base + len(self._speeds)
+
+    def _segment_ready(self) -> bool:
+        f_hi = self._f_done + self.Fseg
+        if self._frames_with_speeds() < f_hi:
+            return False
+        # Raw audio must cover the synthesis reach past the segment end.
+        return self._fed >= f_hi * self.step + self.back_margin
+
+    def _run_wsola_segment(self, f_hi: int, out_total: Optional[float]):
+        """Synthesize global output slots [S, S_next) using frames up to
+        f_hi; out_total (flush only) caps the emitted samples."""
+        Hs, step = self.Hs, self.step
+        S = self._S
+        S_local0 = max(S - 1, 0)
+        # Owner frame of output position S_local0*Hs.
+        f_lo = self._f_done
+        target = S_local0 * Hs
+        while f_lo > self._sp_base and self._obnd_at(f_lo) > target:
+            f_lo -= 1
+        assert self._f_done - f_lo <= self.LOOKBACK, (self._f_done, f_lo)
+
+        # Aligned source window.
+        src_lo = max(0, f_lo * step - self.front_margin)
+        s0 = (src_lo // self.G) * self.G
+        seg = np.zeros(self.L_seg, np.float32)
+        avail_lo = max(s0, self._raw_base)
+        avail_hi = min(s0 + self.L_seg, self._raw_base + len(self._raw))
+        if avail_hi > avail_lo:
+            seg[avail_lo - s0 : avail_hi - s0] = self._raw[
+                avail_lo - self._raw_base : avail_hi - self._raw_base
+            ]
+        seg_len = min(self.L_seg, max(0, self._fed - s0))
+
+        sp = np.empty(self.F_in, np.float32)
+        for i in range(self.F_in):
+            sp[i] = self._speed_at(f_lo + i)
+
+        S_next = int(self._obnd_at(f_hi) / Hs)
+        if out_total is not None:
+            S_next = max(S_next, S)  # flush may emit a final partial slot
+
+        res = wsola_fast._wsola_grid_batch(
+            jnp.asarray(seg)[None],
+            jnp.asarray([seg_len], jnp.int32),
+            jnp.asarray(sp)[None],
+            self.cfg.wsola_min_period,
+            self.cfg.wsola_max_period,
+            step,
+            Hs,
+            self.capacity,
+            self.K_st,
+            max_speed_plan=self.max_sb,
+            in_offset=jnp.asarray([f_lo * step - s0], jnp.float32),
+            out_shift=jnp.asarray(
+                [S_local0 * Hs - self._obnd_at(f_lo)], jnp.float32
+            ),
+            phase_ref=jnp.asarray([S_local0 * Hs - s0], jnp.float32),
+            mask_output=False,
+        )
+        y = np.asarray(res.output[0])
+        emit_from = (S - S_local0) * Hs  # 0 for the first segment, Hs after
+        if out_total is None:
+            n_emit = (S_next - S) * Hs
+        else:
+            n_emit = max(0, int(round(out_total)) - S * Hs)
+        if n_emit > 0:
+            self._out.append(y[emit_from : emit_from + n_emit].copy())
+        self._S = S_next
+        self._f_done = f_hi
+
+        # Prune host buffers: keep raw/speeds back to the earliest the
+        # next segment can need.
+        keep_frame = max(self._sp_base, f_lo - self.LOOKBACK)
+        drop = keep_frame - self._sp_base
+        if drop > 0:
+            del self._speeds[:drop]
+            del self._obnd[:drop]
+            self._sp_base = keep_frame
+        keep_raw = max(
+            self._raw_base,
+            (keep_frame * step - self.front_margin - self.G) // self.G * self.G,
+        )
+        if keep_raw > self._raw_base:
+            self._raw = self._raw[keep_raw - self._raw_base :]
+            self._raw_base = keep_raw
+
+    def _pump(self):
+        while self._analysis_ready():
+            a0 = self._k * self.Ch * self.step
+            a1 = a0 + self.Ch * self.step
+            samples = self._raw[a0 - self._raw_base : a1 - self._raw_base]
+            self._extend_speeds(self._run_analysis_chunk(samples))
+        while self._segment_ready():
+            self._run_wsola_segment(self._f_done + self.Fseg, None)
+
+    def _drain(self) -> np.ndarray:
+        if not self._out:
+            return np.zeros(0, np.float32)
+        out = np.concatenate(self._out)
+        self._out = []
+        return out
+
+    # ---------- public API ----------
+
+    def feed(self, samples: np.ndarray) -> np.ndarray:
+        """Append audio; return whatever output became available."""
+        assert not self._flushed, "stream already flushed"
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._raw = np.concatenate([self._raw, samples])
+        self._fed += len(samples)
+        self._pump()
+        return self._drain()
+
+    def flush(self) -> np.ndarray:
+        """Drain the tail: remaining frames run at the last computed speed
+        (soniclib.c:538-551), the final partial frame at that speed too."""
+        assert not self._flushed
+        self._flushed = True
+        total = self._fed
+        T = self.cfg.num_frames(total, integer_step=True)
+        T_out = self.cfg.num_tension_frames(T)
+        # Zero-pad the RAW buffer (not _fed: segment validity stays the
+        # true length) so every analysis chunk covering T frames can run;
+        # then trim the padded chunks' tension to the true T_out — frames
+        # past it are computed from pad zeros and must not reach the speed
+        # law's duration integrator.
+        n_chunks = -(-(T + 2) // self.Ch) if T > 0 else 0
+        need = n_chunks * self.Ch * self.step + self.L_seg
+        if self._raw_base + len(self._raw) < need:
+            self._raw = np.concatenate(
+                [
+                    self._raw,
+                    np.zeros(need - self._raw_base - len(self._raw), np.float32),
+                ]
+            )
+        while self._k < n_chunks:
+            a0 = self._k * self.Ch * self.step
+            a1 = a0 + self.Ch * self.step
+            samples = self._raw[a0 - self._raw_base : a1 - self._raw_base]
+            t = self._run_analysis_chunk(samples)
+            t = t[: max(0, T_out - self._t_emitted)]
+            self._extend_speeds(t)
+        # Total WSOLA frames = the shim's full-frame count; speeds beyond
+        # tension hold the last value (flush-at-last-speed).
+        total_frames = total // self.step
+        last_speed = (
+            self._speeds[-1]
+            if self._speeds
+            else float(np.clip(self.rg, self.min_sb, self.max_sb))
+        )
+        tail = total - total_frames * self.step
+        # obnd indexing must extend past total_frames for segment math.
+        while self._frames_with_speeds() < total_frames + self.F_in:
+            self._speeds.append(float(last_speed))
+            self._obnd.append(self._obnd[-1] + self.step / float(last_speed))
+        out_total = self._obnd_at(total_frames) + tail / float(last_speed)
+        # Final segments.
+        while self._f_done + self.Fseg <= total_frames:
+            self._run_wsola_segment(self._f_done + self.Fseg, None)
+        self._run_wsola_segment(total_frames, out_total)
+        return self._drain()
+
+    def process(self, x: np.ndarray, feed_chunk: int = 65536) -> np.ndarray:
+        """Convenience: stream x through feed()/flush() and return the
+        concatenated output."""
+        outs = []
+        x = np.asarray(x, np.float32).reshape(-1)
+        for i in range(0, len(x), feed_chunk):
+            outs.append(self.feed(x[i : i + feed_chunk]))
+        outs.append(self.flush())
+        return np.concatenate(outs)

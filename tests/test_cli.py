@@ -76,3 +76,27 @@ def test_resample_op_roundtrip():
     # Pitch doubles: zero crossings double per unit length.
     zc = lambda a: np.sum(np.abs(np.diff(np.signbit(a))))
     assert abs(zc(y) / len(y) - 2 * zc(x) / len(x)) < 0.01
+
+
+def test_cli_device_stream_engine(tmp_path):
+    """--engine device-stream: the bounded-memory long-file path."""
+    import numpy as np
+
+    from speedy_tpu.cli import compress_sound
+    from speedy_tpu.io import write_wave, read_wave
+
+    sr = 16000
+    t = np.arange(sr * 3) / sr
+    x = (
+        np.sin(2 * np.pi * (140 + 30 * np.sin(2 * np.pi * 0.6 * t)) * t)
+        * np.clip(np.sin(2 * np.pi * 3 * t), 0, None)
+        * 16000
+    ).astype(np.int16)
+    inp = str(tmp_path / "in.wav")
+    outp = str(tmp_path / "out.wav")
+    write_wave(inp, x, sr)
+    ratio = compress_sound(inp, 3.0, 1.0, 0.1, outp, engine="device-stream")
+    y, sr2 = read_wave(outp)
+    assert sr2 == sr and y.dtype == np.int16
+    assert 2.0 < ratio < 4.5, ratio
+    assert abs(len(y) - len(x) / ratio) < 2

@@ -1,0 +1,115 @@
+"""Gates for the unbounded device streaming pipeline
+(speedy_tpu/streaming_device.py): segment-seamless WSOLA continuation,
+equivalence with the single-shot batched engine, feed-chunking
+invariance, and bounded host memory."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from speedy_tpu.config import SpeedyConfig
+from speedy_tpu.ops import teager
+from speedy_tpu.streaming_device import DeviceStreamingPipeline
+
+CFG16 = SpeedyConfig(16000)
+
+
+def speechlike(seconds=12.0, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    f0 = 130.0 + 35.0 * np.sin(2 * np.pi * 0.5 * t)
+    phase = np.cumsum(2 * np.pi * f0 / sr)
+    voiced = sum(np.sin(k * phase) / k for k in range(1, 6))
+    env = np.clip(np.sin(2 * np.pi * 2.7 * t), 0, None)
+    return (voiced * env * 0.3 + 0.002 * rng.standard_normal(t.size)).astype(
+        np.float32
+    )
+
+
+def test_streamed_constant_speed_teager_no_seams():
+    """nonlinear_factor=0 -> every frame runs at the global speed: a
+    sped-up sinusoid must stay a clean sinusoid ACROSS segment seams
+    (Teager mean +-1%, rel-sigma < 1% — the reference's glitch gate,
+    sonic_test.cc:479-531)."""
+    sr = 16000
+    t = np.arange(sr * 8) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    pipe = DeviceStreamingPipeline(
+        CFG16, 2.0, nonlinear_factor=0.0, chunk_frames=64, segment_frames=128
+    )
+    y = pipe.process(x, feed_chunk=20000)
+    expected = len(x) / 2.0
+    assert abs(len(y) - expected) < 0.015 * expected + 300
+    # Teager over the interior (skip edge transients).
+    te = np.asarray(teager.teager(jnp.asarray(y[2000:-2000])))
+    mean = float(te.mean())
+    assert mean > 0
+    rel_sigma = float(te.std()) / mean
+    assert rel_sigma < 0.01, rel_sigma
+
+
+def test_streamed_matches_single_shot_nonlinear():
+    """The streamed pipeline must reproduce the single-shot batched grid
+    engine: same tension math, same speeds, same synthesis — up to the
+    float-reassociation ulps of segment-local vs global prefix sums."""
+    from speedy_tpu.parallel.batch import batched_nonlinear_speedup
+
+    x = speechlike(seconds=10.0)
+    L = len(x)
+    ref = batched_nonlinear_speedup(
+        jnp.asarray(x)[None], jnp.asarray([L], jnp.int32), CFG16, 3.0
+    )
+    v = int(ref.valid_length[0])
+    ref_y = np.asarray(ref.output[0, :v])
+
+    pipe = DeviceStreamingPipeline(
+        CFG16, 3.0, chunk_frames=128, segment_frames=256
+    )
+    y = pipe.process(x, feed_chunk=32000)
+    assert abs(len(y) - v) <= 2, (len(y), v)
+    n = min(len(y), v)
+    d = np.abs(y[:n] - ref_y[:n])
+    # Measured: max 7.2e-4, mean 1.4e-5, identical lengths — the seams
+    # and the segment-local prefix sums cost only ulp-scale jitter.
+    assert d.max() < 5e-3, d.max()
+    assert d.mean() < 1e-4, d.mean()
+
+
+def test_streamed_feed_chunking_invariance():
+    """Output must be bit-identical regardless of feed() chunk sizes."""
+    x = speechlike(seconds=6.0, seed=3)
+    outs = []
+    for chunk in (1024, 17777, len(x)):
+        pipe = DeviceStreamingPipeline(
+            CFG16, 3.0, chunk_frames=128, segment_frames=256
+        )
+        outs.append(pipe.process(x, feed_chunk=chunk))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_streamed_host_memory_bounded():
+    """The raw ring buffer must stay bounded by segment+margin size, not
+    stream length."""
+    x = speechlike(seconds=20.0, seed=5)
+    pipe = DeviceStreamingPipeline(
+        CFG16, 3.0, chunk_frames=128, segment_frames=256
+    )
+    peak = 0
+    for i in range(0, len(x), 16000):
+        pipe.feed(x[i : i + 16000])
+        peak = max(peak, len(pipe._raw))
+    pipe.flush()
+    # Bound: retained raw <= a few segments' worth, never the stream.
+    assert peak < 6 * pipe.L_seg, (peak, pipe.L_seg)
+    assert peak < len(x) // 2
+
+
+def test_streamed_short_input_flush():
+    """Sub-window input drains at the requested speed without tension."""
+    x = (0.2 * np.sin(np.arange(1000) * 0.1)).astype(np.float32)
+    pipe = DeviceStreamingPipeline(CFG16, 2.0, chunk_frames=64, segment_frames=128)
+    y = pipe.process(x)
+    assert abs(len(y) - 500) < 80, len(y)
+    assert np.isfinite(y).all()

@@ -110,7 +110,8 @@ class DeviceStreamingPipeline:
         self._an_step = jax.jit(chunk_body)
 
         # --- mutable stream state ---
-        self._raw = np.zeros(0, np.float32)  # retained samples
+        self._channels: Optional[int] = None  # fixed at first feed()
+        self._raw = np.zeros((0, 1), np.float32)  # retained samples [N, C]
         self._raw_base = 0                   # global index of _raw[0]
         self._fed = 0                        # total samples fed
         self._k = 0                          # analysis chunks run
@@ -191,13 +192,15 @@ class DeviceStreamingPipeline:
         # Aligned source window.
         src_lo = max(0, f_lo * step - self.front_margin)
         s0 = (src_lo // self.G) * self.G
-        seg = np.zeros(self.L_seg, np.float32)
+        nch = self._raw.shape[1]
+        seg_ch = np.zeros((self.L_seg, nch), np.float32)
         avail_lo = max(s0, self._raw_base)
         avail_hi = min(s0 + self.L_seg, self._raw_base + len(self._raw))
         if avail_hi > avail_lo:
-            seg[avail_lo - s0 : avail_hi - s0] = self._raw[
+            seg_ch[avail_lo - s0 : avail_hi - s0] = self._raw[
                 avail_lo - self._raw_base : avail_hi - self._raw_base
             ]
+        seg = self._mono(seg_ch)
         seg_len = min(self.L_seg, max(0, self._fed - s0))
 
         sp = np.empty(self.F_in, np.float32)
@@ -218,6 +221,7 @@ class DeviceStreamingPipeline:
             Hs,
             self.capacity,
             self.K_st,
+            xs_channels=jnp.asarray(seg_ch.T)[None] if nch > 1 else None,
             max_speed_plan=self.max_sb,
             in_offset=jnp.asarray([f_lo * step - s0], jnp.float32),
             out_shift=jnp.asarray(
@@ -226,14 +230,17 @@ class DeviceStreamingPipeline:
             phase_ref=jnp.asarray([S_local0 * Hs - s0], jnp.float32),
             mask_output=False,
         )
-        y = np.asarray(res.output[0])
+        y = np.asarray(res.output[0])  # [cap] mono, [C, cap] multichannel
         emit_from = (S - S_local0) * Hs  # 0 for the first segment, Hs after
         if out_total is None:
             n_emit = (S_next - S) * Hs
         else:
             n_emit = max(0, int(round(out_total)) - S * Hs)
         if n_emit > 0:
-            self._out.append(y[emit_from : emit_from + n_emit].copy())
+            piece = y[..., emit_from : emit_from + n_emit]
+            self._out.append(
+                piece.T.copy() if nch > 1 else piece.copy()
+            )
         self._S = S_next
         self._f_done = f_hi
 
@@ -253,18 +260,30 @@ class DeviceStreamingPipeline:
             self._raw = self._raw[keep_raw - self._raw_base :]
             self._raw_base = keep_raw
 
+    def _mono(self, rows: np.ndarray) -> np.ndarray:
+        """Channel-average mixdown for analysis (the shim's contract,
+        soniclib.c:262-287; matches the multichannel batch engine)."""
+        return rows.mean(axis=1) if rows.shape[1] > 1 else rows[:, 0]
+
     def _pump(self):
         while self._analysis_ready():
             a0 = self._k * self.Ch * self.step
             a1 = a0 + self.Ch * self.step
-            samples = self._raw[a0 - self._raw_base : a1 - self._raw_base]
+            samples = self._mono(
+                self._raw[a0 - self._raw_base : a1 - self._raw_base]
+            )
             self._extend_speeds(self._run_analysis_chunk(samples))
         while self._segment_ready():
             self._run_wsola_segment(self._f_done + self.Fseg, None)
 
     def _drain(self) -> np.ndarray:
         if not self._out:
-            return np.zeros(0, np.float32)
+            nch = self._channels or 1
+            return (
+                np.zeros(0, np.float32)
+                if nch == 1
+                else np.zeros((0, nch), np.float32)
+            )
         out = np.concatenate(self._out)
         self._out = []
         return out
@@ -272,9 +291,18 @@ class DeviceStreamingPipeline:
     # ---------- public API ----------
 
     def feed(self, samples: np.ndarray) -> np.ndarray:
-        """Append audio; return whatever output became available."""
+        """Append audio ([N] mono or [N, C] multichannel; C fixed at the
+        first call); return whatever output became available (same
+        channel shape). Channels are resynthesized with the mixdown-
+        derived positions — the shim's multichannel contract."""
         assert not self._flushed, "stream already flushed"
-        samples = np.asarray(samples, np.float32).reshape(-1)
+        samples = np.asarray(samples, np.float32)
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        if self._channels is None:
+            self._channels = samples.shape[1]
+            self._raw = np.zeros((0, self._channels), np.float32)
+        assert samples.shape[1] == self._channels, "channel count changed"
         self._raw = np.concatenate([self._raw, samples])
         self._fed += len(samples)
         self._pump()
@@ -296,16 +324,22 @@ class DeviceStreamingPipeline:
         n_chunks = -(-(T + 2) // self.Ch) if T > 0 else 0
         need = n_chunks * self.Ch * self.step + self.L_seg
         if self._raw_base + len(self._raw) < need:
+            nch = self._raw.shape[1]
             self._raw = np.concatenate(
                 [
                     self._raw,
-                    np.zeros(need - self._raw_base - len(self._raw), np.float32),
+                    np.zeros(
+                        (need - self._raw_base - len(self._raw), nch),
+                        np.float32,
+                    ),
                 ]
             )
         while self._k < n_chunks:
             a0 = self._k * self.Ch * self.step
             a1 = a0 + self.Ch * self.step
-            samples = self._raw[a0 - self._raw_base : a1 - self._raw_base]
+            samples = self._mono(
+                self._raw[a0 - self._raw_base : a1 - self._raw_base]
+            )
             t = self._run_analysis_chunk(samples)
             t = t[: max(0, T_out - self._t_emitted)]
             self._extend_speeds(t)
@@ -330,10 +364,10 @@ class DeviceStreamingPipeline:
         return self._drain()
 
     def process(self, x: np.ndarray, feed_chunk: int = 65536) -> np.ndarray:
-        """Convenience: stream x through feed()/flush() and return the
-        concatenated output."""
+        """Convenience: stream x ([N] or [N, C]) through feed()/flush()
+        and return the concatenated output."""
         outs = []
-        x = np.asarray(x, np.float32).reshape(-1)
+        x = np.asarray(x, np.float32)
         for i in range(0, len(x), feed_chunk):
             outs.append(self.feed(x[i : i + feed_chunk]))
         outs.append(self.flush())

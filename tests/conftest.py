@@ -9,20 +9,26 @@ late — we must also update the already-imported jax config."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if os.environ.get("SPEEDY_TEST_TPU", "0") == "1":
+    # Opt-out: run the suite on the default (real TPU) backend so the
+    # @skipif(backend != "tpu") hardware tests execute. Mesh tests that
+    # need >= 2 devices skip themselves.
+    import jax  # noqa: F401
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.device_count() >= 8, (
-    f"expected 8 virtual CPU devices, got {jax.device_count()} "
-    f"on {jax.devices()[0].platform}"
-)
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.device_count() >= 8, (
+        f"expected 8 virtual CPU devices, got {jax.device_count()} "
+        f"on {jax.devices()[0].platform}"
+    )
 
 import pathlib
 import sys

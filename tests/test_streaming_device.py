@@ -113,3 +113,31 @@ def test_streamed_short_input_flush():
     y = pipe.process(x)
     assert abs(len(y) - 500) < 80, len(y)
     assert np.isfinite(y).all()
+
+
+def test_streamed_multichannel():
+    """Stereo streaming: identical channels match the mono path exactly;
+    distinct channels share one valid length and both come out clean."""
+    x = speechlike(seconds=6.0, seed=7)
+    pipe_m = DeviceStreamingPipeline(
+        CFG16, 3.0, chunk_frames=128, segment_frames=256
+    )
+    y_mono = pipe_m.process(x)
+
+    stereo_same = np.stack([x, x], axis=1)
+    pipe_s = DeviceStreamingPipeline(
+        CFG16, 3.0, chunk_frames=128, segment_frames=256
+    )
+    y_same = pipe_s.process(stereo_same)
+    assert y_same.shape == (len(y_mono), 2)
+    np.testing.assert_array_equal(y_same[:, 0], y_same[:, 1])
+    np.testing.assert_allclose(y_same[:, 0], y_mono, atol=1e-6)
+
+    stereo_diff = np.stack([x, 0.7 * np.roll(x, 23)], axis=1)
+    pipe_d = DeviceStreamingPipeline(
+        CFG16, 3.0, chunk_frames=128, segment_frames=256
+    )
+    y_diff = pipe_d.process(stereo_diff)
+    assert y_diff.ndim == 2 and y_diff.shape[1] == 2
+    assert np.isfinite(y_diff).all()
+    assert 0.2 < len(y_diff) / len(y_mono) < 2.0

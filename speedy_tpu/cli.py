@@ -46,7 +46,11 @@ def compress_sound(
     num_channels = 1 if samples.ndim == 1 else samples.shape[1]
     dump_files = dump_files or {}
 
-    needs_stream = num_channels > 1 or bool(dump_files) or rate != 1.0
+    needs_stream = (
+        bool(dump_files)
+        or rate != 1.0
+        or (num_channels > 1 and engine not in ("stream", "device-stream"))
+    )
     if engine != "stream" and needs_stream:
         print(
             f"note: --engine {engine} does not support dump files, --rate, or "

@@ -143,3 +143,37 @@ def test_fused_synth_kernel_on_tpu():
         np.testing.assert_allclose(
             ref[b, : int(nv[b])], got_v[b, : int(nv[b])], rtol=0, atol=2e-5
         )
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_streaming_device_pipeline_on_tpu():
+    """The segment-continued streaming pipeline on real hardware: the
+    continuation hooks (in_offset/out_shift/phase_ref/mask_output) must
+    compose with the fused synthesis kernel and match the single-shot
+    meshed engine."""
+    import jax.numpy as jnp
+
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.parallel.batch import batched_nonlinear_speedup
+    from speedy_tpu.streaming_device import DeviceStreamingPipeline
+
+    cfg = SpeedyConfig(16000)
+    rng = np.random.default_rng(0)
+    t = np.arange(16000 * 6) / 16000.0
+    x = (
+        0.3
+        * np.sin(2 * np.pi * (150 + 30 * np.sin(2 * np.pi * 0.5 * t)) * t)
+        * np.clip(np.sin(2 * np.pi * 2.5 * t), 0, None)
+        + 0.002 * rng.standard_normal(t.size)
+    ).astype(np.float32)
+    ref = batched_nonlinear_speedup(
+        jnp.asarray(x)[None], jnp.asarray([len(x)], np.int32), cfg, 3.0
+    )
+    v = int(ref.valid_length[0])
+    y = DeviceStreamingPipeline(
+        cfg, 3.0, chunk_frames=128, segment_frames=256
+    ).process(x)
+    assert abs(len(y) - v) <= 2, (len(y), v)
+    n = min(len(y), v)
+    d = np.abs(y[:n] - np.asarray(ref.output[0, :n]))
+    assert d.max() < 5e-3 and d.mean() < 1e-4, (d.max(), d.mean())

@@ -141,3 +141,80 @@ def test_streamed_multichannel():
     assert y_diff.ndim == 2 and y_diff.shape[1] == 2
     assert np.isfinite(y_diff).all()
     assert 0.2 < len(y_diff) / len(y_mono) < 2.0
+
+
+@pytest.mark.parametrize("sr", [22050, 44100])
+def test_streamed_other_sample_rates(sr):
+    """Streaming pipeline at 22.05/44.1 kHz must match the single-shot
+    batched engine (the nonlinear law legitimately deviates from L/R_g on
+    short high-tension signals, so the engine is the reference)."""
+    from speedy_tpu.parallel.batch import batched_nonlinear_speedup
+
+    cfg = SpeedyConfig(sr)
+    t = np.arange(int(sr * 4)) / sr
+    x = (
+        0.3
+        * np.sin(2 * np.pi * 200 * t)
+        * np.clip(np.sin(2 * np.pi * 3 * t), 0, None)
+    ).astype(np.float32)
+    ref = batched_nonlinear_speedup(
+        jnp.asarray(x)[None], jnp.asarray([len(x)], np.int32), cfg, 2.5
+    )
+    v = int(ref.valid_length[0])
+    pipe = DeviceStreamingPipeline(cfg, 2.5, chunk_frames=64, segment_frames=128)
+    y = pipe.process(x)
+    assert abs(len(y) - v) <= 2, (len(y), v)
+    n = min(len(y), v)
+    d = np.abs(y[:n] - np.asarray(ref.output[0, :n]))
+    assert d.max() < 5e-3 and d.mean() < 1e-4, (d.max(), d.mean())
+    assert np.isfinite(y).all()
+
+
+def test_streamed_fuzz_matches_single_shot():
+    """Randomized lengths / speeds / segmentations vs the single-shot
+    batched engine (deterministic seeds)."""
+    from speedy_tpu.parallel.batch import batched_nonlinear_speedup
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        sr = 16000
+        seconds = float(rng.uniform(3.0, 7.0))
+        rgs = float(rng.uniform(1.5, 4.0))
+        x = speechlike(seconds=seconds, seed=100 + trial)
+        L = len(x)
+        ref = batched_nonlinear_speedup(
+            jnp.asarray(x)[None], jnp.asarray([L], np.int32), CFG16, rgs
+        )
+        v = int(ref.valid_length[0])
+        pipe = DeviceStreamingPipeline(
+            CFG16,
+            rgs,
+            chunk_frames=int(rng.choice([64, 128])),
+            segment_frames=int(rng.choice([192, 256, 384])),
+        )
+        y = pipe.process(x, feed_chunk=int(rng.integers(5000, 40000)))
+        assert abs(len(y) - v) <= 2, (trial, len(y), v)
+        n = min(len(y), v)
+        d = np.abs(y[:n] - np.asarray(ref.output[0, :n]))
+        assert d.max() < 5e-3 and d.mean() < 1e-4, (trial, d.max(), d.mean())
+
+
+def test_cli_device_stream_stereo(tmp_path):
+    """--engine device-stream with a stereo WAV goes through the device
+    pipeline (not the streaming-shim fallback)."""
+    from speedy_tpu.cli import compress_sound
+    from speedy_tpu.io import read_wave, write_wave
+
+    sr = 16000
+    x = speechlike(seconds=3.0, seed=9)
+    stereo = np.stack([x, 0.8 * x], axis=1)
+    stereo_i = np.clip(np.round(stereo * 32768), -32768, 32767).astype(
+        np.int16
+    )
+    inp = str(tmp_path / "in.wav")
+    outp = str(tmp_path / "out.wav")
+    write_wave(inp, stereo_i, sr)
+    ratio = compress_sound(inp, 3.0, 1.0, 0.1, outp, engine="device-stream")
+    y, sr2 = read_wave(outp)
+    assert sr2 == sr and y.ndim == 2 and y.shape[1] == 2
+    assert 2.0 < ratio < 4.5, ratio

@@ -170,6 +170,7 @@ def main():
         for amps in windows:
             float(jnp.sum(amps))
         best = None
+        window_rates = []
         for amps in windows:
             t0 = time.perf_counter()
             sums = scan_jit(amps, lengths)
@@ -177,7 +178,13 @@ def main():
             dt_total = time.perf_counter() - t0
             assert len(set(checksums)) == iters, "distinct inputs, equal sums?"
             best = dt_total if best is None else min(best, dt_total)
+            window_rates.append(B * seconds / (dt_total / iters))
         dt = best / iters
+        print(
+            "window spread (audio-s/s, heterogeneous 4-family batch): "
+            + ", ".join(f"{r:.0f}" for r in window_rates),
+            file=sys.stderr,
+        )
 
     audio_seconds = B * seconds
     value = audio_seconds / dt / max(n_dev, 1)

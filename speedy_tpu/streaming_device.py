@@ -142,6 +142,16 @@ class DeviceStreamingPipeline:
         self._k += 1
         return t[lo:]
 
+    def set_speed(self, global_speed: float) -> None:
+        """Change the global rate mid-stream (sonicSetSpeed semantics:
+        speedyComputeSpeedFromTension takes R_g per call, so the law
+        simply uses the new rate for frames computed after this point;
+        the duration integrator carries across). Instantaneous speeds
+        remain clamped to the plan bounds fixed at construction — pass a
+        larger max_speed_bound up front if you intend to raise the rate
+        beyond the initial plan's ceiling."""
+        self.rg = float(global_speed)
+
     def _extend_speeds(self, tension: np.ndarray):
         if tension.size == 0:
             return

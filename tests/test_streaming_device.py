@@ -218,3 +218,27 @@ def test_cli_device_stream_stereo(tmp_path):
     y, sr2 = read_wave(outp)
     assert sr2 == sr and y.ndim == 2 and y.shape[1] == 2
     assert 2.0 < ratio < 4.5, ratio
+
+
+def test_streamed_set_speed_mid_stream():
+    """sonicSetSpeed semantics: the rate change applies to frames whose
+    tension is computed after the call (within one analysis chunk of the
+    feed boundary); nonlinear_factor=0 makes lengths exactly step/rg per
+    frame, so the total output lands between the all-old and all-new
+    extremes and near the piecewise expectation."""
+    sr = 16000
+    t = np.arange(sr * 4) / sr
+    x = (0.4 * np.sin(2 * np.pi * 300.0 * t)).astype(np.float32)
+    pipe = DeviceStreamingPipeline(
+        CFG16, 2.0, nonlinear_factor=0.0, chunk_frames=64, segment_frames=128
+    )
+    out1 = pipe.feed(x)
+    pipe.set_speed(4.0)
+    out2 = np.concatenate([pipe.feed(x), pipe.flush()])
+    total = len(out1) + len(out2)
+    expected = len(x) / 2.0 + len(x) / 4.0
+    # Transition fuzz: one analysis chunk + the tension lookahead.
+    fuzz = (64 + 10) * CFG16.frame_step_int / 2.0
+    assert abs(total - expected) < fuzz + 300, (total, expected)
+    assert total < len(x) / 2.0 * 2 - 1000  # the change clearly happened
+    assert np.isfinite(out2).all()

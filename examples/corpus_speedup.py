@@ -31,6 +31,12 @@ def synth_utterance(rng, sr, seconds):
 
 
 def main():
+    # Persistent XLA cache: repeat runs (e.g. the smoke tests) skip
+    # recompilation entirely.
+    from speedy_tpu.profiling import enable_compile_cache, honor_jax_platform_env
+
+    honor_jax_platform_env()
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--speed", type=float, default=3.0)
     ap.add_argument("--n", type=int, default=16)

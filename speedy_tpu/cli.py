@@ -146,6 +146,10 @@ def _compress_streaming(
 
 
 def main(argv=None) -> int:
+    from .profiling import enable_compile_cache, honor_jax_platform_env
+
+    honor_jax_platform_env()
+    enable_compile_cache()
     ap = argparse.ArgumentParser(
         prog="speedy_wave",
         description="Nonlinear (Mach1/Speedy) speech speedup of a WAV file.",

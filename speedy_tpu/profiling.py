@@ -16,6 +16,27 @@ import time
 from typing import Dict, Iterator, Optional
 
 
+def honor_jax_platform_env() -> None:
+    """Make JAX_PLATFORMS effective even when a sitecustomize imported
+    jax at interpreter boot with a different platform pinned (this
+    image's boot hook points at a TPU tunnel, so plain
+    `JAX_PLATFORMS=cpu python script.py` is silently ignored and every
+    jit becomes a minutes-long remote compile). Called by the example
+    scripts and the CLI so user intent wins."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", plat)
+        from jax.extend import backend as _backend
+
+        _backend.clear_backends()
+    except Exception:
+        pass
+
+
 def enable_compile_cache(path: Optional[str] = None) -> None:
     """Point jax at a persistent compilation cache (remote TPU compiles
     take minutes; cache hits bring fresh-process startup down to seconds).

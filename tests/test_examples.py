@@ -41,3 +41,10 @@ def test_streaming_realtime_example():
 def test_streaming_realtime_example_native():
     stdout = _run("streaming_realtime.py", "--chunk", "2048", "--native")
     assert "latency" in stdout.lower() or "frames" in stdout.lower(), stdout
+
+
+def test_device_streaming_example():
+    stdout = _run(
+        "device_streaming.py", "--seconds", "6", "--set-speed-at", "0.5:4.0"
+    )
+    assert "streamed" in stdout and "set_speed" in stdout, stdout

@@ -71,7 +71,7 @@ def main():
     t0 = time.perf_counter()
     outs, fed = [], 0
     for i in range(0, len(x), args.chunk):
-        if change_at is not None and fed < change_at <= fed + args.chunk:
+        if change_at is not None and fed <= change_at < fed + args.chunk:
             pipe.set_speed(new_speed)
             print(f"set_speed({new_speed}) at sample {fed}")
         outs.append(pipe.feed(x[i : i + args.chunk]))

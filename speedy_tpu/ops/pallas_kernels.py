@@ -504,6 +504,62 @@ def _gather_synth_kernel(
         out_dma(0, 0).wait()
 
 
+class _SpanGeo:
+    """Span-block geometry of gather_synth_block_pallas (see
+    _span_geometry). Plain attribute bag so jnp arrays trace through."""
+
+    __slots__ = (
+        "nt", "w_rows", "SR", "SB", "w_sub_rows",
+        "base_al", "q8", "r7", "q8s", "rowoff", "q8rel",
+    )
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def _span_geometry(starts, width: int, rows_per_block: int, w_span: int, xp):
+    """The ONE statement of the fused-synthesis span/sub-block geometry,
+    shared by the kernel wrapper (xp=jnp, traced), the in-graph poison
+    check, and the eager validate_span_contract (xp=np) — so the
+    contract arithmetic cannot drift between them. `starts` must already
+    be padded to a multiple of rows_per_block."""
+    B = starts.shape[0]
+    R = rows_per_block
+    NB = starts.shape[1] // R
+    nt = (width + 127) // 128 + 1  # tiles per row incl. shift headroom
+    w_rows = -(-((w_span + 1024) // 128 + nt + 8) // 8) * 8
+    s2 = starts.reshape(B, NB, R)
+    base_al = (xp.min(s2, axis=2) // 1024) * 1024
+    offs = (s2 - base_al[:, :, None]).astype(xp.int32)
+    q8 = offs // 128
+    r7 = offs - q8 * 128
+    SR = min(16, R)
+    SB = R // SR
+    step_ub = -(-w_span // max(R - 1, 1))  # per-row start step bound
+    w_sub = (SR - 1) * step_ub + width + 32 + 1024
+    w_sub_rows = min(w_rows, -(-(-(-w_sub // 128) + nt + 8) // 8) * 8)
+    q8s = q8.reshape(B, NB, SB, SR)
+    rowoff = xp.clip(
+        (xp.min(q8s, axis=3) // 8) * 8, 0, w_rows - w_sub_rows
+    ).astype(xp.int32)  # [B, NB, SB]
+    q8rel = q8s - rowoff[..., None]
+    return _SpanGeo(
+        nt=nt, w_rows=w_rows, SR=SR, SB=SB, w_sub_rows=w_sub_rows,
+        base_al=base_al, q8=q8, r7=r7, q8s=q8s, rowoff=rowoff, q8rel=q8rel,
+    )
+
+
+def _span_violations(geo: _SpanGeo, xp):
+    """Per-[B, NB] violation flags: a 16-row sub-block's spread exceeds
+    its narrowed selection window, or the block overruns the span DMA."""
+    sub_viol = xp.any(
+        (geo.q8rel < 0) | (geo.q8rel + geo.nt > geo.w_sub_rows), axis=(2, 3)
+    )
+    blk_viol = xp.max(geo.q8, axis=2) + geo.nt > geo.w_rows
+    return sub_viol, blk_viol
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("hop", "width", "rows_per_block", "w_span", "interpret"),
@@ -552,28 +608,20 @@ def gather_synth_block_pallas(
             [starts, jnp.tile(starts[:, -1:], (1, pad))], axis=1
         )
         af = jnp.concatenate([af, jnp.zeros((B, pad), af.dtype)], axis=1)
-    nt = (width + 127) // 128 + 1  # tiles per row incl. shift headroom
     ts = (hop + 127) // 128  # slot tiles per row
-    w_rows = -(-((w_span + 1024) // 128 + nt + 8) // 8) * 8
-    s2 = starts.reshape(B, NB, R)
-    base = jnp.min(s2, axis=2)
-    base_al = (base // 1024) * 1024
-    offs = (s2 - base_al[:, :, None]).astype(jnp.int32)
-    q8 = offs // 128
-    r7 = offs - q8 * 128
+    # Hierarchical select prep (shared geometry — ONE statement of the
+    # contract arithmetic, also used by the poison check below and the
+    # eager validate_span_contract): per SR-row sub-block, an 8-aligned
+    # row offset into the span (scalar-prefetched) and tile indices
+    # RELATIVE to it, ordered (sb, t, r) — see _gather_synth_kernel.
+    geo = _span_geometry(starts, width, R, w_span, jnp)
+    nt, w_rows, SR, SB, w_sub_rows = (
+        geo.nt, geo.w_rows, geo.SR, geo.SB, geo.w_sub_rows,
+    )
+    base_al, q8, r7, rowoff, q8rel = (
+        geo.base_al, geo.q8, geo.r7, geo.rowoff, geo.q8rel,
+    )
     ktile = jnp.arange(nt, dtype=jnp.int32)
-    # Hierarchical select prep: per SR-row sub-block, an 8-aligned row
-    # offset into the span (scalar-prefetched) and tile indices RELATIVE
-    # to it, ordered (sb, t, r) — see _gather_synth_kernel step 1.
-    SR = min(16, R)
-    SB = R // SR
-    step_ub = -(-w_span // max(R - 1, 1))  # per-row start step bound
-    w_sub = (SR - 1) * step_ub + width + 32 + 1024
-    w_sub_rows = min(w_rows, -(-(-(-w_sub // 128) + nt + 8) // 8) * 8)
-    q8s = q8.reshape(B, NB, SB, SR)
-    rowoff = jnp.clip(
-        (jnp.min(q8s, axis=3) // 8) * 8, 0, w_rows - w_sub_rows
-    ).astype(jnp.int32)  # [B, NB, SB]
     # Actual span extent per block for the bucketed span-DMA lengths.
     # Must cover every hierarchical sub-block window [off, off+w_sub_rows)
     # — the one-hot multiplies un-DMA'd rows by 0.0, which is only safe if
@@ -581,16 +629,6 @@ def gather_synth_block_pallas(
     nrows = jnp.minimum(jnp.max(q8, axis=2) + w_sub_rows, w_rows).astype(
         jnp.int32
     )  # [B, NB]
-    q8rel = q8s - rowoff[..., None]
-    # Span-contract detector (opt-in: SPEEDY_VALIDATE_SPAN=1). The
-    # hierarchical select silently yields zeros for any row whose tiles
-    # fall outside its sub-block's narrowed window; with the flag set,
-    # violating LIVE blocks poison the whole output with NaN so contract
-    # breaches fail loudly at the caller's quality gates instead of
-    # shipping silent garbage. Costs one extra elementwise pass over the
-    # output, so it is off in production (the planner guarantees the
-    # contract for the production caller — see validate_span_contract
-    # for the host-side eager check).
     q8k = (
         q8rel[:, :, :, None, :] + ktile[None, None, None, :, None]
     ).reshape(B, NB, nt * R, 1)
@@ -617,10 +655,7 @@ def gather_synth_block_pallas(
     # host-side eager check).
     poison = None
     if os.environ.get("SPEEDY_VALIDATE_SPAN", "0") == "1":
-        sub_viol = jnp.any(
-            (q8rel < 0) | (q8rel + nt > w_sub_rows), axis=(2, 3)
-        )  # [B, NB]: a sub-block's spread exceeds its narrowed window
-        blk_viol = jnp.max(q8, axis=2) + nt > w_rows  # DMA span overrun
+        sub_viol, blk_viol = _span_violations(geo, jnp)
         live = jnp.arange(NB, dtype=jnp.int32)[None, :] < nvb[:, None]
         bad = jnp.any((sub_viol | blk_viol) & live)
         poison = jnp.where(
@@ -733,29 +768,16 @@ def validate_span_contract(
         starts = np.concatenate(
             [starts, np.tile(starts[:, -1:], (1, NB * R - K))], axis=1
         )
-    nt = (width + 127) // 128 + 1
-    w_rows = -(-((w_span + 1024) // 128 + nt + 8) // 8) * 8
-    s2 = starts.reshape(B, NB, R)
-    base_al = (np.min(s2, axis=2) // 1024) * 1024
-    offs = (s2 - base_al[:, :, None]).astype(np.int64)
-    q8 = offs // 128
-    SR = min(16, R)
-    SB = R // SR
-    step_ub = -(-w_span // max(R - 1, 1))
-    w_sub = (SR - 1) * step_ub + width + 32 + 1024
-    w_sub_rows = min(w_rows, -(-(-(-w_sub // 128) + nt + 8) // 8) * 8)
-    q8s = q8.reshape(B, NB, SB, SR)
-    rowoff = np.clip((np.min(q8s, axis=3) // 8) * 8, 0, w_rows - w_sub_rows)
-    q8rel = q8s - rowoff[..., None]
+    geo = _span_geometry(starts, width, R, w_span, np)
     live = np.ones((B, NB), bool)
     if n_valid is not None:
         nvb = np.minimum(-(-np.asarray(n_valid) // R), NB)
         live = np.arange(NB)[None, :] < nvb[:, None]
-    sub_viol = np.any((q8rel < 0) | (q8rel + nt > w_sub_rows), axis=(2, 3))
-    blk_viol = np.max(q8, axis=2) + nt > w_rows
+    sub_viol, blk_viol = _span_violations(geo, np)
     bad = (sub_viol | blk_viol) & live
     if bad.any():
         b, nb = np.argwhere(bad)[0]
+        s2 = starts.reshape(B, NB, R)
         spread = int(s2[b, nb].max() - s2[b, nb].min())
         raise ValueError(
             f"span contract violated at batch {b}, block {nb}: row-start "

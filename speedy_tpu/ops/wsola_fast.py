@@ -253,6 +253,7 @@ def _gather_rows_spans(
         "max_speed_plan",
         "span_rows",
         "mask_output",
+        "return_period",
     ),
 )
 def _wsola_grid_batch(
@@ -275,6 +276,7 @@ def _wsola_grid_batch(
     out_shift: Optional[jnp.ndarray] = None,
     phase_ref: Optional[jnp.ndarray] = None,
     mask_output: bool = True,
+    return_period: bool = False,
 ) -> WsolaResult:
     """xs[B, L], input_lengths[B], speeds[B, F] -> WsolaResult with
     output[B, capacity], valid_length[B].
@@ -302,7 +304,11 @@ def _wsola_grid_batch(
                       global clock instead of restarting;
       mask_output:    False returns every computed slot un-zeroed (the
                       caller owns trimming; valid_length is still the
-                      local time-map estimate)."""
+                      local time-map estimate);
+      return_period:  True additionally returns the per-chunk pitch
+                      period [B, K] (the streaming pipeline snaps its
+                      phase-reference re-basing to an exact period
+                      multiple of the segment-boundary chunk)."""
     dtype = xs.dtype
     B, L = xs.shape
     if max_speed_plan is not None:
@@ -533,7 +539,10 @@ def _wsola_grid_batch(
         out = synth(ch_pad, rep(a_i), rep(a_f), rep(valid_m)).reshape(
             B, C, capacity
         )
-    return WsolaResult(out, valid, jnp.full((B,), K, jnp.int32))
+    res = WsolaResult(out, valid, jnp.full((B,), K, jnp.int32))
+    if return_period:
+        return res, period
+    return res
 
 
 def pitch_grid_stride(cfg: SpeedyConfig, hop: Optional[int] = None) -> int:

@@ -30,6 +30,7 @@ shapes. The reference's own streaming shim is O(1)-state sample-serial C
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import jax
@@ -41,6 +42,15 @@ from .config import SpeedyConfig
 from .ops import wsola_fast
 from .ops.chunked import make_chunk_step
 from .ops.speed import speed_from_tension
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_chunk_step(cfg: SpeedyConfig, chunk_frames: int):
+    """One compiled analysis step per (config, chunk size) — shared by
+    every pipeline instance (remote TPU compiles take minutes; a
+    per-instance jit cache would recompile per stream)."""
+    carry0, body = make_chunk_step(cfg, chunk_frames)
+    return carry0, jax.jit(body)
 
 
 class DeviceStreamingPipeline:
@@ -63,6 +73,7 @@ class DeviceStreamingPipeline:
         segment_frames: int = 512,
         min_speed_bound: Optional[float] = None,
         max_speed_bound: Optional[float] = None,
+        phase_ref_limit: float = float(2**21),
     ):
         self.cfg = cfg
         self.rg = float(global_speed)
@@ -104,10 +115,13 @@ class DeviceStreamingPipeline:
         self.K_st = n_slots_max + 4
         self.capacity = (self.K_st - 1) * self.Hs
 
-        # --- device programs (compiled lazily, cached by jit) ---
-        carry0, chunk_body = make_chunk_step(cfg, self.Ch)
+        # --- device programs (compiled lazily; caches shared across
+        # instances, plus the persistent on-disk cache) ---
+        from .profiling import enable_compile_cache
+
+        enable_compile_cache()
+        carry0, self._an_step = _jitted_chunk_step(cfg, self.Ch)
         self._an_carry = carry0
-        self._an_step = jax.jit(chunk_body)
 
         # --- mutable stream state ---
         self._channels: Optional[int] = None  # fixed at first feed()
@@ -122,6 +136,20 @@ class DeviceStreamingPipeline:
         self._law_carry = (0.0, 0.0)         # duration integrator
         self._f_done = 0                     # frames consumed by WSOLA
         self._S = 0                          # output slots emitted
+        # Phase-reference re-basing: the absolute reference S*Hs - s0
+        # grows ~|1-rate| x stream position, and a large f32 value makes
+        # the engine's delta-mod-period arithmetic lose sample-scale
+        # precision (f32 spacing at 2^24 is 2 samples). The host keeps an
+        # exact float64 base subtracted from the reference; whenever the
+        # reduced reference exceeds phase_ref_limit, the base advances by
+        # an EXACT multiple of the segment-boundary chunk's pitch period
+        # (returned by the engine), which leaves that shared chunk's
+        # phase-snap bit-unchanged — other chunks re-anchor, which is the
+        # same class of event as the engine's own pitch-cell transitions.
+        self._pr_limit = float(phase_ref_limit)
+        self._pr_base = 0.0                  # float64, exact
+        self._periods_prev: Optional[np.ndarray] = None  # [K] last segment
+        self._S_local0_prev = 0
         self._out: List[np.ndarray] = []     # drained output chunks
         self._flushed = False
 
@@ -221,7 +249,18 @@ class DeviceStreamingPipeline:
         if out_total is not None:
             S_next = max(S_next, S)  # flush may emit a final partial slot
 
-        res = wsola_fast._wsola_grid_batch(
+        phase_ref = float(S_local0) * Hs - float(s0) - self._pr_base
+        if abs(phase_ref) > self._pr_limit and self._periods_prev is not None:
+            idx = min(
+                max(0, S_local0 - self._S_local0_prev),
+                len(self._periods_prev) - 1,
+            )
+            p_sh = float(self._periods_prev[idx])
+            k_red = round(phase_ref / p_sh)
+            self._pr_base += k_red * p_sh  # float64: exact given f32 p_sh
+            phase_ref -= k_red * p_sh
+
+        res, periods = wsola_fast._wsola_grid_batch(
             jnp.asarray(seg)[None],
             jnp.asarray([seg_len], jnp.int32),
             jnp.asarray(sp)[None],
@@ -237,9 +276,12 @@ class DeviceStreamingPipeline:
             out_shift=jnp.asarray(
                 [S_local0 * Hs - self._obnd_at(f_lo)], jnp.float32
             ),
-            phase_ref=jnp.asarray([S_local0 * Hs - s0], jnp.float32),
+            phase_ref=jnp.asarray([phase_ref], jnp.float32),
             mask_output=False,
+            return_period=True,
         )
+        self._periods_prev = np.asarray(periods[0])
+        self._S_local0_prev = S_local0
         y = np.asarray(res.output[0])  # [cap] mono, [C, cap] multichannel
         emit_from = (S - S_local0) * Hs  # 0 for the first segment, Hs after
         if out_total is None:

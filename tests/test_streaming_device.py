@@ -242,3 +242,54 @@ def test_streamed_set_speed_mid_stream():
     assert abs(total - expected) < fuzz + 300, (total, expected)
     assert total < len(x) / 2.0 * 2 - 1000  # the change clearly happened
     assert np.isfinite(out2).all()
+
+
+def test_streamed_phase_rebase_long_stream():
+    """Phase-reference re-basing (the f32-overflow guard for multi-hour
+    streams): force re-bases every segment via a tiny phase_ref_limit.
+    On a constant-period signal the re-base subtracts an exact multiple
+    of THE period, so output must match the unlimited pipeline almost
+    exactly — and stay Teager-clean across every re-base event."""
+    sr = 16000
+    t = np.arange(sr * 10) / sr
+    x = (0.5 * np.sin(2 * np.pi * 200.0 * t)).astype(np.float32)
+
+    def run(limit):
+        pipe = DeviceStreamingPipeline(
+            CFG16,
+            3.0,
+            nonlinear_factor=0.0,
+            chunk_frames=64,
+            segment_frames=128,
+            phase_ref_limit=limit,
+        )
+        return pipe.process(x), pipe
+
+    y_ref, _ = run(float(2**21))   # never re-bases at this length
+    y_reb, pipe = run(20_000.0)    # re-bases every couple of segments
+    assert pipe._pr_base != 0.0, "re-base never triggered"
+    assert len(y_reb) == len(y_ref)
+    # Before the first re-base the outputs are identical; after it, the
+    # phase clock is re-anchored by ~k*(P_cell - P_shared) (sub-sample
+    # per cell — the same class of re-anchor as the engine's own
+    # pitch-cell transitions), so sample-wise equality is not the
+    # contract. The contract is: no glitches across any re-base.
+    np.testing.assert_allclose(y_reb[:12000], y_ref[:12000], atol=1e-5)
+    te = np.asarray(teager.teager(jnp.asarray(y_reb[2000:-2000])))
+    assert float(te.std()) / float(te.mean()) < 0.01
+
+    # Speech with re-bases: finite, same length as single-shot.
+    xs = speechlike(seconds=8.0, seed=13)
+    from speedy_tpu.parallel.batch import batched_nonlinear_speedup
+
+    ref = batched_nonlinear_speedup(
+        jnp.asarray(xs)[None], jnp.asarray([len(xs)], np.int32), CFG16, 3.0
+    )
+    pipe2 = DeviceStreamingPipeline(
+        CFG16, 3.0, chunk_frames=128, segment_frames=256,
+        phase_ref_limit=30_000.0,
+    )
+    y2 = pipe2.process(xs)
+    assert pipe2._pr_base != 0.0
+    assert abs(len(y2) - int(ref.valid_length[0])) <= 2
+    assert np.isfinite(y2).all()

@@ -415,6 +415,63 @@ class DeviceStreamingPipeline:
         self._run_wsola_segment(total_frames, out_total)
         return self._drain()
 
+    def state_dict(self) -> dict:
+        """Snapshot the full stream state as host arrays/scalars — the
+        §5.4 checkpoint/resume contract for the device pipeline: a stream
+        restored from this dict continues bit-identically (the analysis
+        scan carry, speed-law integrator, output clock, phase base, and
+        ring buffers are the complete state)."""
+        return {
+            "an_carry": [np.asarray(a) for a in self._an_carry],
+            "channels": self._channels,
+            "raw": self._raw.copy(),
+            "raw_base": self._raw_base,
+            "fed": self._fed,
+            "k": self._k,
+            "t_emitted": self._t_emitted,
+            "speeds": list(self._speeds),
+            "obnd": list(self._obnd),
+            "sp_base": self._sp_base,
+            "law_carry": self._law_carry,
+            "f_done": self._f_done,
+            "S": self._S,
+            "rg": self.rg,
+            "pr_base": self._pr_base,
+            "periods_prev": None
+            if self._periods_prev is None
+            else self._periods_prev.copy(),
+            "S_local0_prev": self._S_local0_prev,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        """Restore a state_dict() snapshot (see its docstring). Pending
+        drained output is not part of the state — call this only after
+        consuming feed()'s return value."""
+        assert not self._flushed and not self._out
+        from .ops.chunked import _Carry
+
+        self._an_carry = _Carry(*(jnp.asarray(a) for a in state["an_carry"]))
+        self._channels = state["channels"]
+        self._raw = state["raw"].copy()
+        self._raw_base = state["raw_base"]
+        self._fed = state["fed"]
+        self._k = state["k"]
+        self._t_emitted = state["t_emitted"]
+        self._speeds = list(state["speeds"])
+        self._obnd = list(state["obnd"])
+        self._sp_base = state["sp_base"]
+        self._law_carry = tuple(state["law_carry"])
+        self._f_done = state["f_done"]
+        self._S = state["S"]
+        self.rg = state["rg"]
+        self._pr_base = state["pr_base"]
+        self._periods_prev = (
+            None
+            if state["periods_prev"] is None
+            else state["periods_prev"].copy()
+        )
+        self._S_local0_prev = state["S_local0_prev"]
+
     def process(self, x: np.ndarray, feed_chunk: int = 65536) -> np.ndarray:
         """Convenience: stream x ([N] or [N, C]) through feed()/flush()
         and return the concatenated output."""

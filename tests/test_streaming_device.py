@@ -293,3 +293,32 @@ def test_streamed_phase_rebase_long_stream():
     assert pipe2._pr_base != 0.0
     assert abs(len(y2) - int(ref.valid_length[0])) <= 2
     assert np.isfinite(y2).all()
+
+
+def test_streamed_checkpoint_resume_bit_exact():
+    """§5.4 for the device pipeline: snapshot mid-stream, resume in a
+    FRESH pipeline, outputs must be bit-identical to the uninterrupted
+    run — including across a mid-stream speed change."""
+    x = speechlike(seconds=8.0, seed=21)
+    mk = lambda: DeviceStreamingPipeline(
+        CFG16, 3.0, chunk_frames=128, segment_frames=256
+    )
+
+    # Uninterrupted run.
+    p0 = mk()
+    y0 = [p0.feed(x[:64000])]
+    p0.set_speed(2.0)
+    y0 += [p0.feed(x[64000:]), p0.flush()]
+    y0 = np.concatenate(y0)
+
+    # Checkpoint after the first feed + speed change, restore elsewhere.
+    p1 = mk()
+    part1 = p1.feed(x[:64000])
+    p1.set_speed(2.0)
+    snap = p1.state_dict()
+
+    p2 = mk()
+    p2.load_state_dict(snap)
+    part2 = np.concatenate([p2.feed(x[64000:]), p2.flush()])
+    y1 = np.concatenate([part1, part2])
+    np.testing.assert_array_equal(y0, y1)

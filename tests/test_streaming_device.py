@@ -322,3 +322,10 @@ def test_streamed_checkpoint_resume_bit_exact():
     part2 = np.concatenate([p2.feed(x[64000:]), p2.flush()])
     y1 = np.concatenate([part1, part2])
     np.testing.assert_array_equal(y0, y1)
+
+
+def test_streamed_flush_without_feed():
+    """flush() on a never-fed stream returns empty output, no errors."""
+    pipe = DeviceStreamingPipeline(CFG16, 3.0, chunk_frames=64, segment_frames=128)
+    y = pipe.flush()
+    assert y.shape[0] == 0

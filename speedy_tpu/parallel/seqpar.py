@@ -242,3 +242,146 @@ def analysis_seq_parallel(
         check_vma=False,
     )(x_sh, tail_extra)
     return out.reshape(-1)[:T_out]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh", "min_speed_bound", "max_speed_bound")
+)
+def wsola_seq_parallel(
+    x: jnp.ndarray,
+    speeds: jnp.ndarray,
+    cfg: SpeedyConfig,
+    mesh: Mesh,
+    min_speed_bound: float = 1.0,
+    max_speed_bound: float = 6.0,
+):
+    """Grid WSOLA for ONE utterance with the OUTPUT-SLOT axis sharded
+    across every device of `mesh`: device s synthesizes global chunks
+    [s*Kn, (s+1)*Kn) using the engine's streaming-continuation hooks
+    (out_shift = the shard's global slot offset, phase_ref = the global
+    phase clock, plus one recomputed overlap chunk for the OLA carry —
+    exactly the segment-continuation mechanics of streaming_device.py,
+    applied across space instead of time). The waveform and speeds are
+    replicated (compute scales with devices; memory does not — this is
+    the single-utterance LATENCY axis, complementing dp throughput).
+
+    Returns (output [capacity], valid_length) — matches
+    wsola_fast.time_scale_grid(..., max_speed_bound=...) to float ulps.
+    """
+    from ..ops import wsola_fast
+
+    dtype = x.dtype
+    L = x.shape[-1]
+    devices = np.asarray(mesh.devices).reshape(-1)
+    n = devices.size
+    seq_mesh = Mesh(devices, ("seq",))
+    hop, cap, K = wsola_fast.plan_grid(cfg, L, min_speed_bound)
+    Kn = -(-K // n)  # chunks per shard
+    minp, maxp = cfg.wsola_min_period, cfg.wsola_max_period
+    step = cfg.frame_step_int
+
+    def shard_fn(xr, sp):
+        s = jax.lax.axis_index("seq")
+        S0 = s * Kn
+        S_local0 = jnp.maximum(S0 - 1, 0)
+        res = wsola_fast._wsola_grid_batch(
+            xr,
+            jnp.asarray([L], jnp.int32),
+            sp,
+            minp,
+            maxp,
+            step,
+            hop,
+            (Kn + 1) * hop,
+            Kn + 2,
+            max_speed_plan=max_speed_bound,
+            out_shift=(S_local0 * hop).astype(jnp.float32)[None],
+            phase_ref=(S_local0 * hop).astype(jnp.float32)[None],
+            mask_output=False,
+        )
+        # Emit exactly Kn slots starting at global S0 (local slot 1 for
+        # every shard but the first, whose chunk 0 is the global start).
+        emit_from = (S0 - S_local0) * hop
+        y = jax.lax.dynamic_slice_in_dim(
+            res.output[0], emit_from, Kn * hop
+        )
+        return y[None, :]
+
+    sp = jnp.minimum(jnp.asarray(speeds, dtype), max_speed_bound)[None, :]
+    out = jax.shard_map(
+        shard_fn,
+        mesh=seq_mesh,
+        in_specs=(P(), P()),
+        out_specs=P("seq", None),
+        check_vma=False,
+    )(x[None, :], sp)
+    flat = out.reshape(-1)
+    # Global output length: the engine's time-map estimate, evaluated
+    # once outside the shard_map (each shard's own estimate clips to its
+    # local capacity). Same ops as _wsola_grid_batch for bit parity.
+    n_frames = sp.shape[1]
+    inv_s = jnp.asarray(step, dtype) / sp
+    obnd = jnp.concatenate(
+        [jnp.zeros((1, 1), dtype), jnp.cumsum(inv_s, axis=1)], axis=1
+    )
+    total_frames = min(L // step, n_frames)
+    tail = jnp.asarray(L - total_frames * step, dtype)
+    last_speed = sp[0, min(total_frames, n_frames - 1)]
+    out_len = obnd[0, total_frames] + tail / last_speed
+    valid = jnp.minimum(jnp.round(out_len).astype(jnp.int32), cap)
+    idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    flat = jnp.where(idx < valid, flat, 0.0)
+    return flat[:cap], valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "mesh", "global_speed", "nonlinear_factor",
+        "duration_feedback_strength",
+    ),
+)
+def nonlinear_speedup_seq_parallel(
+    x: jnp.ndarray,
+    cfg: SpeedyConfig,
+    mesh: Mesh,
+    global_speed: float,
+    nonlinear_factor: float = 1.0,
+    duration_feedback_strength: float = 0.1,
+):
+    """End-to-end nonlinear speedup of ONE long utterance with every
+    stage scaled across the mesh's devices: sequence-parallel analysis
+    (frame axis sharded, halo exchanges), the tiny sequential speed law,
+    and slot-sharded WSOLA. The single-utterance LATENCY path — the
+    batch engine (parallel/batch.py) remains the THROUGHPUT path.
+
+    Returns (output [capacity], valid_length, tension, speeds)."""
+    from ..ops.speed import speed_from_tension
+
+    dtype = x.dtype
+    L = x.shape[-1]
+    step = cfg.frame_step_int
+    min_sb = 1.0 if global_speed >= 1.0 else max(C.MIN_SPEED, 0.3 * global_speed)
+    from .batch import _plan_max_speed
+
+    max_sb = _plan_max_speed(global_speed, nonlinear_factor)
+
+    tension = analysis_seq_parallel(x, cfg, mesh)
+    total_frames = L // step
+    if tension.shape[0] == 0:
+        speeds = jnp.full((max(total_frames, 1),), global_speed, dtype)
+    else:
+        sp, _ = speed_from_tension(
+            tension, global_speed, duration_feedback_strength, nonlinear_factor
+        )
+        # Flush-at-last-speed for the lookahead tail frames
+        # (soniclib.c:538-551), plus the batch engine's planner floor.
+        pad = max(total_frames - sp.shape[0], 0)
+        speeds = jnp.concatenate([sp, jnp.broadcast_to(sp[-1], (pad,))])[
+            : max(total_frames, 1)
+        ]
+    speeds = jnp.clip(speeds, min_sb, max_sb)
+    y, valid = wsola_seq_parallel(
+        x, speeds, cfg, mesh, min_speed_bound=min_sb, max_speed_bound=max_sb
+    )
+    return y, valid, tension, speeds

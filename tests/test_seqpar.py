@@ -90,3 +90,77 @@ def test_seqpar_short_input():
     assert got.shape == full.shape
     if full.size:
         np.testing.assert_allclose(got, full, atol=2e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_wsola_seq_parallel_matches_single_device():
+    """Slot-sharded WSOLA for one utterance == single-device grid engine
+    (same pitch cells, same time map, same global phase clock; shards
+    only recompute their overlap chunk)."""
+    from speedy_tpu.ops import wsola_fast
+    from speedy_tpu.parallel.seqpar import wsola_seq_parallel
+
+    sr = 16000
+    rng = np.random.default_rng(6)
+    t = np.arange(sr * 6) / sr
+    x = (
+        0.4
+        * np.sin(2 * np.pi * (160 + 40 * np.sin(2 * np.pi * 0.5 * t)) * t)
+        * np.clip(np.sin(2 * np.pi * 2.5 * t), 0, None)
+        + 0.002 * rng.standard_normal(t.size)
+    ).astype(np.float32)
+    F = len(x) // CFG16.frame_step_int
+    speeds = np.clip(
+        2.5 + 1.2 * np.sin(np.arange(F) * 0.05), 1.0, 6.0
+    ).astype(np.float32)
+
+    ref = wsola_fast.time_scale_grid(
+        jnp.asarray(x), jnp.asarray(speeds), CFG16,
+        min_speed_bound=1.0, max_speed_bound=6.0,
+    )
+    v_ref = int(ref.valid_length)
+
+    mesh = make_mesh(tp=1)
+    y, valid = wsola_seq_parallel(
+        jnp.asarray(x), jnp.asarray(speeds), CFG16, mesh,
+        min_speed_bound=1.0, max_speed_bound=6.0,
+    )
+    assert int(valid) == v_ref
+    ref_y = np.asarray(ref.output[:v_ref])
+    got_y = np.asarray(y[:v_ref])
+    d = np.abs(got_y - ref_y)
+    assert d.max() < 1e-5, d.max()
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_nonlinear_speedup_seq_parallel_end_to_end():
+    """Full single-utterance multi-chip pipeline vs the batched engine at
+    B=1: same tension math (to scan-tree ulps), same speeds, same audio."""
+    from speedy_tpu.parallel.batch import batched_nonlinear_speedup
+    from speedy_tpu.parallel.seqpar import nonlinear_speedup_seq_parallel
+
+    sr = 16000
+    rng = np.random.default_rng(8)
+    t = np.arange(sr * 8) / sr
+    x = (
+        0.35
+        * np.sin(2 * np.pi * (140 + 35 * np.sin(2 * np.pi * 0.4 * t)) * t)
+        * np.clip(np.sin(2 * np.pi * 2.8 * t), 0, None)
+        + 0.002 * rng.standard_normal(t.size)
+    ).astype(np.float32)
+    ref = batched_nonlinear_speedup(
+        jnp.asarray(x)[None], jnp.asarray([len(x)], np.int32), CFG16, 3.0
+    )
+    v_ref = int(ref.valid_length[0])
+
+    mesh = make_mesh(tp=1)
+    y, valid, tension, speeds = nonlinear_speedup_seq_parallel(
+        jnp.asarray(x), CFG16, mesh, 3.0
+    )
+    assert abs(int(valid) - v_ref) <= 2, (int(valid), v_ref)
+    n = min(int(valid), v_ref)
+    d = np.abs(np.asarray(y[:n]) - np.asarray(ref.output[0, :n]))
+    assert d.max() < 2e-3 and d.mean() < 1e-4, (d.max(), d.mean())
+    np.testing.assert_allclose(
+        np.asarray(tension), np.asarray(ref.tension[0]), atol=2e-5
+    )

@@ -262,8 +262,11 @@ def wsola_seq_parallel(
     phase clock, plus one recomputed overlap chunk for the OLA carry —
     exactly the segment-continuation mechanics of streaming_device.py,
     applied across space instead of time). The waveform and speeds are
-    replicated (compute scales with devices; memory does not — this is
-    the single-utterance LATENCY axis, complementing dp throughput).
+    replicated, but each shard SLICES its pitch-grid-aligned source span
+    before entering the engine, so the pitch search — the dominant WSOLA
+    cost — scales as ~L*max_speed_bound/n per device (pass a tight
+    max_speed_bound for full benefit). The single-utterance LATENCY
+    axis, complementing dp throughput.
 
     Returns (output [capacity], valid_length) — matches
     wsola_fast.time_scale_grid(..., max_speed_bound=...) to float ulps.
@@ -279,14 +282,44 @@ def wsola_seq_parallel(
     Kn = -(-K // n)  # chunks per shard
     minp, maxp = cfg.wsola_min_period, cfg.wsola_max_period
     step = cfg.frame_step_int
+    G = wsola_fast.pitch_grid_stride(cfg, hop)
+    front = maxp + hop + 64
+    back = G // 2 + 2 * maxp + 2 * hop + 64
+    # Static per-shard source width: the shard's Kn+2 chunks span at most
+    # (Kn+2)*hop*max_speed source samples, plus margins; never wider than
+    # the (padded) utterance itself.
+    L_shard = (
+        -(-int((Kn + 2) * hop * max_speed_bound + front + back) // G) * G
+    )
+    L_shard = min(L_shard, -(-(L + G) // G) * G)
+    Lp = -(-L // G) * G + L_shard  # room for the last shard's slice
+    x_rep = jnp.concatenate([x, jnp.zeros((Lp - L,), dtype)])
 
     def shard_fn(xr, sp):
         s = jax.lax.axis_index("seq")
         S0 = s * Kn
         S_local0 = jnp.maximum(S0 - 1, 0)
+        sp0 = sp[0]
+        # Source position of the shard's first chunk via the global time
+        # map (same formula as the engine, O(F) scalars on replicated
+        # speeds), minus margins, G-aligned so pitch cells match the
+        # global grid exactly.
+        ob = jnp.concatenate(
+            [jnp.zeros((1,), dtype), jnp.cumsum(jnp.asarray(step, dtype) / sp0)]
+        )
+        q0 = (S_local0 * hop).astype(dtype)
+        f = jnp.clip(
+            jnp.searchsorted(ob, q0, side="right") - 1, 0, sp0.shape[0] - 1
+        )
+        c_lo = f.astype(dtype) * step + (q0 - ob[f]) * sp0[f]
+        s0 = (
+            jnp.clip(c_lo - front, 0.0, None).astype(jnp.int32) // G
+        ) * G
+        xs_sh = jax.lax.dynamic_slice_in_dim(xr[0], s0, L_shard)
+        lens = jnp.clip(L - s0, 0, L_shard)
         res = wsola_fast._wsola_grid_batch(
-            xr,
-            jnp.asarray([L], jnp.int32),
+            xs_sh[None],
+            lens[None].astype(jnp.int32),
             sp,
             minp,
             maxp,
@@ -295,8 +328,9 @@ def wsola_seq_parallel(
             (Kn + 1) * hop,
             Kn + 2,
             max_speed_plan=max_speed_bound,
+            in_offset=(-s0).astype(jnp.float32)[None],
             out_shift=(S_local0 * hop).astype(jnp.float32)[None],
-            phase_ref=(S_local0 * hop).astype(jnp.float32)[None],
+            phase_ref=((S_local0 * hop) - s0).astype(jnp.float32)[None],
             mask_output=False,
         )
         # Emit exactly Kn slots starting at global S0 (local slot 1 for
@@ -314,7 +348,7 @@ def wsola_seq_parallel(
         in_specs=(P(), P()),
         out_specs=P("seq", None),
         check_vma=False,
-    )(x[None, :], sp)
+    )(x_rep[None, :], sp)
     flat = out.reshape(-1)
     # Global output length: the engine's time-map estimate, evaluated
     # once outside the shard_map (each shard's own estimate clips to its

@@ -422,6 +422,7 @@ class DeviceStreamingPipeline:
         scan carry, speed-law integrator, output clock, phase base, and
         ring buffers are the complete state)."""
         return {
+            "params": self._compat_params(),
             "an_carry": [np.asarray(a) for a in self._an_carry],
             "channels": self._channels,
             "raw": self._raw.copy(),
@@ -443,11 +444,30 @@ class DeviceStreamingPipeline:
             "S_local0_prev": self._S_local0_prev,
         }
 
+    def _compat_params(self) -> tuple:
+        """Everything a snapshot's counters are interpreted against: the
+        config and every constructor-derived plan constant. rg/nl/fb are
+        runtime state (rg is restored; nl/fb are part of the plan via
+        max_sb, so they are pinned here too)."""
+        return (
+            self.cfg, self.nl, self.fb, self.Ch, self.Fseg,
+            self.min_sb, self.max_sb, self._pr_limit,
+        )
+
     def load_state_dict(self, state: dict) -> None:
         """Restore a state_dict() snapshot (see its docstring). Pending
         drained output is not part of the state — call this only after
-        consuming feed()'s return value."""
+        consuming feed()'s return value. Raises if the target pipeline's
+        plan (config, chunk/segment geometry, speed bounds) differs from
+        the snapshot's — counters and clocks are only meaningful against
+        the same plan."""
         assert not self._flushed and not self._out
+        if tuple(state["params"]) != self._compat_params():
+            raise ValueError(
+                "state_dict plan mismatch: snapshot "
+                f"{state['params']} vs target {self._compat_params()}; "
+                "construct the pipeline with identical parameters"
+            )
         from .ops.chunked import _Carry
 
         self._an_carry = _Carry(*(jnp.asarray(a) for a in state["an_carry"]))

@@ -329,3 +329,18 @@ def test_streamed_flush_without_feed():
     pipe = DeviceStreamingPipeline(CFG16, 3.0, chunk_frames=64, segment_frames=128)
     y = pipe.flush()
     assert y.shape[0] == 0
+
+
+def test_streamed_checkpoint_plan_mismatch_rejected():
+    """Restoring a snapshot into a pipeline with a different plan must
+    raise, not silently reinterpret counters."""
+    x = speechlike(seconds=3.0, seed=2)
+    p1 = DeviceStreamingPipeline(CFG16, 3.0, chunk_frames=128, segment_frames=256)
+    p1.feed(x)
+    snap = p1.state_dict()
+    p_bad = DeviceStreamingPipeline(CFG16, 1.5, chunk_frames=128, segment_frames=256)
+    with pytest.raises(ValueError, match="plan mismatch"):
+        p_bad.load_state_dict(snap)
+    p_bad2 = DeviceStreamingPipeline(CFG16, 3.0, chunk_frames=64, segment_frames=256)
+    with pytest.raises(ValueError, match="plan mismatch"):
+        p_bad2.load_state_dict(snap)

@@ -559,6 +559,13 @@ def pitch_grid_stride(cfg: SpeedyConfig, hop: Optional[int] = None) -> int:
 def plan_grid(
     cfg: SpeedyConfig, input_len: int, min_speed_bound: float, hop: Optional[int] = None
 ):
+    """NOTE on scaling: the engine's fused time-map inversion is
+    O(K*F) per utterance (K output chunks x F frames — the banded
+    compare-select that beats searchsorted at corpus batch shapes).
+    That is the right trade for throughput batches of <= minutes-long
+    utterances; single files beyond a few minutes should stream
+    (streaming_device.py: O(segment) per step) or shard their slot axis
+    across chips (parallel/seqpar.py: O(K*F/n) per device)."""
     if hop is None:
         # One analysis frame step (10 ms): chunk grid aligned with the
         # speed-change granularity, and the phase-snap scan length — the

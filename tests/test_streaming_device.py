@@ -344,3 +344,48 @@ def test_streamed_checkpoint_plan_mismatch_rejected():
     p_bad2 = DeviceStreamingPipeline(CFG16, 3.0, chunk_frames=64, segment_frames=256)
     with pytest.raises(ValueError, match="plan mismatch"):
         p_bad2.load_state_dict(snap)
+
+
+def test_streamed_ten_minute_endurance():
+    """Endurance: a 10-minute utterance streams in seconds of wall time
+    with ~40 phase re-bases and bounded state; rate lands at the law's
+    fixed point. (The batched engine's banded time-map inversion is
+    O(K*F) per utterance — minutes-long single files are exactly what
+    the streaming pipeline exists for.) Plus a 90-second head-to-head
+    against the batched engine where O(K*F) is still cheap."""
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr * 600) / sr
+    f0 = 120 + 40 * np.sin(2 * np.pi * 0.31 * t)
+    x = (
+        np.sin(np.cumsum(2 * np.pi * f0 / sr))
+        * np.clip(np.sin(2 * np.pi * 2.3 * t), 0, None)
+        * 0.3
+        + 0.01 * rng.standard_normal(t.size)
+    ).astype(np.float32)
+    pipe = DeviceStreamingPipeline(CFG16, 3.0)
+    y = pipe.process(x)
+    assert np.isfinite(y).all()
+    rate = len(x) / len(y)
+    assert 2.7 < rate < 3.3, rate
+    assert pipe._pr_base != 0.0  # re-bases exercised on a real stream
+
+    # 90 s head-to-head (batched reference still tractable).
+    from speedy_tpu.parallel.batch import batched_nonlinear_speedup
+
+    x90 = x[: sr * 90]
+    ref = batched_nonlinear_speedup(
+        jnp.asarray(x90)[None], jnp.asarray([len(x90)], np.int32), CFG16, 3.0
+    )
+    v = int(ref.valid_length[0])
+    p2 = DeviceStreamingPipeline(CFG16, 3.0)
+    y90 = p2.process(x90)
+    # The batched engine's output clock is an f32 cumsum from frame 0
+    # (random-walk rounding ~ sqrt(F) ulps -> samples at this length);
+    # the streamed clock is float64-anchored. So lengths agree only to
+    # the f32 drift (measured 9 samples at 90 s), and sample-wise
+    # equality holds in the EARLY region before the f32 clock wanders.
+    assert abs(len(y90) - v) <= 2 + int(4e-5 * v), (len(y90), v)
+    n = 10 * sr
+    d = np.abs(y90[:n] - np.asarray(ref.output[0, :n]))
+    assert d.mean() < 1e-4, d.mean()

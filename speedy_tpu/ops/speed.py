@@ -106,11 +106,15 @@ def speed_from_tension_parallel(
 
     # Strictly-lower-triangular matmul computes the exclusive prefix sum on
     # the MXU (jnp.cumsum lowers poorly on TPU: ~27 ms vs ~2 ms at
-    # [128, 1000]).
+    # [128, 1000]). Built from iotas ON DEVICE: a materialized [T, T]
+    # numpy constant ships inside the serialized program — 324 MB of HLO
+    # payload at T=9000, which overflows the remote-compile relay's
+    # request-size cap (HTTP 413) long before any device limit.
     T = tension.shape[-1]
-    tri = jnp.asarray(
-        np.tril(np.ones((T, T), np.float32), k=-1).T, dtype
-    )  # tri[j, k] = 1 for j < k
+    tri = (
+        jnp.arange(T, dtype=jnp.int32)[:, None]
+        < jnp.arange(T, dtype=jnp.int32)[None, :]
+    ).astype(dtype)  # tri[j, k] = 1 for j < k
 
     def refine(_, excess_prev):
         req = jnp.where(

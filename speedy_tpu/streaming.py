@@ -89,33 +89,130 @@ class SpeedyFrontEndStream:
         self.diff_lp_state = (1 - self._alpha) * np.float32(x) + self._alpha * self.diff_lp_state
         return self.diff_lp_state
 
-    def add_data(self, frame: np.ndarray, at_time: int) -> np.ndarray:
-        """speedyAddData (speedy.c:540-551). `frame` float32 [window]."""
-        cfg = self.cfg
-        buf = np.asarray(frame, np.float32).copy()
-        # Preemphasis with persistent state (speedy.c:416-425).
+    # -- white-box API (speedy.h:61-121), same decomposition as the C --
+
+    def get_current_time(self) -> int:
+        """speedyGetCurrentTime (speedy.c:741-744)."""
+        return self.current_time
+
+    def fft_size(self) -> int:
+        """speedyFFTSize (speedy.c:340-343)."""
+        return self.cfg.fft_size
+
+    def bin_to_freq(self, bin_number: int) -> float:
+        """speedyBinToFreq (speedy.c:345-348)."""
+        return self.cfg.bin_to_freq(bin_number)
+
+    def freq_to_bin(self, freq: float) -> int:
+        """speedyFreqToBin (speedy.c:350-353)."""
+        return self.cfg.freq_to_bin(freq)
+
+    def preemphasis_filter(self, x: np.ndarray) -> np.ndarray:
+        """speedyPreemphasisFilter (speedy.c:416-427): filter([1 -.97], 1, x)
+        with persistent cross-call state. Returns a filtered copy (the C
+        filters in place)."""
+        buf = np.asarray(x, np.float32).copy()
+        if buf.size == 0:
+            return buf
         last = buf[-1]
         shifted = np.concatenate([[self.preemph_state], buf[:-1]])
         buf -= np.float32(C.PREEMPHASIS_COEF) * shifted
-        self.preemph_state = last
-        # Spectrogram (speedy.c:438-454).
-        fw = buf * self._win
+        self.preemph_state = np.float32(last)
+        return buf
+
+    def _mirror_full(self, half: np.ndarray) -> np.ndarray:
+        """Expand the stored [half_fft+1] unique bins to the reference's
+        full fft_size magnitude array (conjugate-symmetric mirror)."""
+        return np.concatenate([half, half[-2:0:-1]]).astype(np.float32)
+
+    def compute_spectrogram(self, x: np.ndarray) -> np.ndarray:
+        """speedySpectrogram (speedy.c:437-473): Hamming window + zero-pad to
+        fft_size + magnitude. Input is the (already preemphasized) analysis
+        window; returns the full [fft_size] magnitude like the C (we store
+        the unique half internally — the rest is its mirror)."""
+        fw = np.asarray(x, np.float32) * self._win
         re = fw @ self._cos
         im = fw @ self._sin
         spec = np.sqrt(re * re + im * im).astype(np.float32)
         self.spectrogram = spec
-        self._spec_ring[at_time % self._spec_ring.shape[0]] = spec
-        # Local energy (speedy.c:510-523).
+        return self._mirror_full(spec)
+
+    def save_spectrogram_data(self, spectrogram: np.ndarray, at_time: int) -> None:
+        """speedySaveSpectrogramData (speedy.c:476-483). Accepts the full
+        [fft_size] array or the unique [half_fft+1] bins; stores the half."""
+        spec = np.asarray(spectrogram, np.float32)
+        half = self._spec_ring.shape[1]
+        self._spec_ring[at_time % self._spec_ring.shape[0]] = spec[:half]
+
+    def get_spectrogram_at_time(self, at_time: int) -> np.ndarray:
+        """speedyGetSpectrogramAtTime (speedy.c:485-487), mirrored to full
+        fft_size like the C history rows."""
+        return self._mirror_full(self._spec_at(at_time))
+
+    def add_to_hysteresis_buffer(self, value: float, at_time: int) -> None:
+        """speedyAddToHysteresisBuffer (speedy.c:615-620)."""
+        self._hyst_ring[at_time % self._hyst_ring.shape[0]] = np.float32(value)
+
+    def compute_local_energy(self, at_time: int) -> None:
+        """speedyComputeLocalEnergy (speedy.c:510-523): frame energy over
+        bins [1, fft_size/2), 1-second LPF, ratio, sqrt-compress (clamped at
+        sqrt(2)), then push to the hysteresis ring. NOTE: like the C, this
+        reads the stream's own last-computed spectrogram (speedy.c:515 uses
+        stream->spectrogram regardless of its argument)."""
+        cfg = self.cfg
+        spec = self.spectrogram
         energy = np.float32(np.sum(spec[1 : cfg.half_fft] ** 2, dtype=np.float32))
         lp = self._lpf_energy(energy)
         local = energy / lp
         compressed = np.float32(math.sqrt(min(2.0, local)))
-        self._hyst_ring[at_time % self._hyst_ring.shape[0]] = compressed
+        self.add_to_hysteresis_buffer(compressed, at_time)
         f = self.features
         f[C.F_ENERGY_LP] = lp
         f[C.F_ENERGY_LOCAL] = local
         f[C.F_ENERGY_COMPRESSED] = compressed
         f[C.F_TIME_ENERGY] = at_time
+
+    @staticmethod
+    def normalize_by_energy(spectrogram: np.ndarray) -> tuple:
+        """speedyNormalizeByEnergy (speedy.c:628-647): returns
+        (frame_energy_excluding_DC, spectrogram/(sqrt(energy)+eps))."""
+        spec = np.asarray(spectrogram, np.float32)
+        energy = np.float32(np.sum(spec[1:] ** 2, dtype=np.float32))
+        norm = spec / (np.float32(math.sqrt(energy)) + np.float32(C.EPS))
+        return energy, norm.astype(np.float32)
+
+    def get_spectrogram(self) -> np.ndarray:
+        """speedyGetSpectrogram / speedyGetInternalSpectrogram
+        (speedy.c:355-358,393-396), mirrored to full fft_size."""
+        return self._mirror_full(self.spectrogram)
+
+    def get_normalized_spectrogram(self) -> np.ndarray:
+        """speedyGetNormalizedSpectrogram (speedy.c:360-363): the
+        [fft_size/2] normalized slice from the last tension computation."""
+        return self.normalized
+
+    def get_internal_state(self) -> np.ndarray:
+        """speedyGetInternalState (speedy.c:388-391): the 15-feature vector
+        (kFeatureValueCount, legend at speedy.c:365-386)."""
+        return self.features
+
+    def get_energy_compressed(self) -> float:
+        """speedyGetEnergyCompressed (speedy.c:525-527)."""
+        return float(self.features[C.F_ENERGY_COMPRESSED])
+
+    def get_speech_changes(self) -> float:
+        """speedyGetSpeechChanges (speedy.c:737-739)."""
+        return float(self.features[C.F_SPEECH_CHANGES])
+
+    def add_data(self, frame: np.ndarray, at_time: int) -> np.ndarray:
+        """speedyAddData (speedy.c:540-551) — same call graph as the C:
+        preemphasis -> spectrogram -> save to history -> local energy.
+        `frame` float32 [window]; returns the stored [half_fft+1] bins."""
+        buf = self.preemphasis_filter(frame)
+        self.compute_spectrogram(buf)
+        spec = self.spectrogram
+        self.save_spectrogram_data(spec, at_time)
+        self.compute_local_energy(at_time)
         self.current_time = at_time
         return spec
 
@@ -136,22 +233,21 @@ class SpeedyFrontEndStream:
             past_max = max(past_max, v)
         return (past_max + future_max) / 2.0
 
-    def compute_tension(self, at_time: int) -> Optional[float]:
-        """speedyComputeTension (speedy.c:752-766): None if not enough
-        lookahead yet, else the tension (features vector updated)."""
+    def compute_spectral_difference(
+        self, spectrogram: np.ndarray, last_spectrogram: np.ndarray, at_time: int
+    ) -> None:
+        """speedyComputeSpectralDifference (speedy.c:664-729): hysteresis,
+        normalized frame energies, the low-energy skip gate, and the
+        log-ratio spectral difference chain. Inputs are [half_fft] magnitude
+        slices (the C passes fft_size rows but only reads fft_size/2)."""
         cfg = self.cfg
-        if at_time + cfg.hysteresis_future > self.current_time:
-            return None
         f = self.features
-        cur = self._spec_at(at_time)[: cfg.half_fft]
-        last = self._spec_at(at_time - 1)[: cfg.half_fft]
-        hyst = np.float32(self.evaluate_hysteresis(at_time))
-        # speedyComputeSpectralDifference (speedy.c:664-729)
         eps = np.float32(C.EPS)
-        energy = np.float32(np.sum(cur[1:] ** 2, dtype=np.float32))
-        self.normalized = cur / (np.float32(math.sqrt(energy)) + eps)
-        last_energy = np.float32(np.sum(last[1:] ** 2, dtype=np.float32))
-        norm_last = last / (np.float32(math.sqrt(last_energy)) + eps)
+        cur = np.asarray(spectrogram, np.float32)[: cfg.half_fft]
+        last = np.asarray(last_spectrogram, np.float32)[: cfg.half_fft]
+        hyst = np.float32(self.evaluate_hysteresis(at_time))
+        energy, self.normalized = self.normalize_by_energy(cur)
+        _, norm_last = self.normalize_by_energy(last)
         f[C.F_ENERGY_HYSTERESIS] = hyst
         f[C.F_SPECTROGRAM_ENERGY] = energy
         f[C.F_LOW_ENERGY_THRESHOLD] = cfg.low_energy_threshold
@@ -183,6 +279,18 @@ class SpeedyFrontEndStream:
             f[C.F_EMPHASIS_WEIGHTED_LPF] = lpf
             f[C.F_RELATIVE_SPECTRAL_DIFFERENCE] = rsd
             f[C.F_SPEECH_CHANGES] = changes
+
+    def compute_tension(self, at_time: int) -> Optional[float]:
+        """speedyComputeTension (speedy.c:752-766): None if not enough
+        lookahead yet, else the tension (features vector updated). Same
+        call graph as the C: spectral difference then the affine law."""
+        cfg = self.cfg
+        if at_time + cfg.hysteresis_future > self.current_time:
+            return None
+        f = self.features
+        cur = self._spec_at(at_time)
+        last = self._spec_at(at_time - 1)
+        self.compute_spectral_difference(cur, last, at_time)
         tension = C.TENSION_A * (f[C.F_ENERGY_HYSTERESIS] - C.TENSION_M_E) + C.TENSION_B * (
             f[C.F_SPEECH_CHANGES] - C.TENSION_M_S
         )

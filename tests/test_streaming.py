@@ -189,3 +189,52 @@ def test_callbacks_fire_with_monotone_times():
     assert tension_times == list(range(len(tension_times)))
     assert st.spectrogram_size() == SpeedyConfig(SR).fft_size
     assert st.get_buffer_size() == SpeedyConfig(SR).frame_step_int
+
+
+def test_whitebox_api_decomposition():
+    """The decomposed white-box API (speedy.h:61-121) reproduces add_data /
+    compute_tension exactly: same call graph as the C (preemphasis ->
+    spectrogram -> save -> local energy; spectral difference -> tension)."""
+    from speedy_tpu.streaming import SpeedyFrontEndStream
+
+    rng = np.random.default_rng(7)
+    a = SpeedyFrontEndStream(SR)
+    b = SpeedyFrontEndStream(SR)
+    w, step = a.input_frame_size(), a.input_frame_step()
+    x = rng.standard_normal(w + 30 * step).astype(np.float32) * 0.3
+
+    for t in range(24):
+        frame = x[t * step : t * step + w]
+        spec_a = a.add_data(frame, t)
+        # Manual decomposition on the twin stream (speedy.c:540-551 order).
+        buf = b.preemphasis_filter(frame)
+        full = b.compute_spectrogram(buf)
+        assert full.shape == (b.fft_size(),)
+        np.testing.assert_array_equal(full[1 : b.cfg.half_fft], full[-1 : -b.cfg.half_fft : -1])
+        b.save_spectrogram_data(full, t)
+        b.compute_local_energy(t)
+        b.current_time = t
+        np.testing.assert_array_equal(spec_a, b.spectrogram)
+        np.testing.assert_array_equal(a.features, b.features)
+        np.testing.assert_array_equal(a.get_spectrogram_at_time(t), b.get_spectrogram_at_time(t))
+        ta, tb = a.compute_tension(t - 8), b.compute_tension(t - 8)
+        assert (ta is None) == (tb is None)
+        if ta is not None:
+            assert ta == tb
+
+    # Getter surface (speedy.c:340-396,525-527,737-744).
+    assert a.get_current_time() == 23
+    assert a.freq_to_bin(a.bin_to_freq(17)) == 17
+    assert a.get_internal_state() is a.features
+    assert a.get_energy_compressed() == float(a.features[3])
+    assert a.get_speech_changes() == float(a.features[10])
+    assert a.get_spectrogram().shape == (a.fft_size(),)
+    assert a.get_normalized_spectrogram().shape == (a.cfg.half_fft,)
+    energy, norm = a.normalize_by_energy(a.get_spectrogram()[: a.cfg.half_fft])
+    assert energy > 0 and abs(float(np.sum(norm[1:] ** 2)) - 1.0) < 1e-3
+
+    # add_to_hysteresis_buffer is the ring the hysteresis window reads.
+    c = SpeedyFrontEndStream(SR)
+    for t in range(30):
+        c.add_to_hysteresis_buffer(1.0 if t == 20 else 0.0, t)
+    assert c.evaluate_hysteresis(20) == pytest.approx(1.0)

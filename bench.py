@@ -105,9 +105,13 @@ def main():
 
         mesh = make_mesh(tp=1)
 
-    def fn(xs, lengths):
+    def fn(xs, lengths, gain=None):
+        # Checksum = sum over the FULL output buffer. A cheaper
+        # 2048-sample slice checksum was measured SLOWER (93.2k vs 94.3k
+        # audio-s/s/chip, tight windows): the full reduce fuses into
+        # bandwidth already streaming, the slice does not. Keep full-sum.
         out = batched_nonlinear_speedup(
-            xs, lengths, cfg, 3.5, 1.0, 0.1, mesh=mesh
+            xs, lengths, cfg, 3.5, 1.0, 0.1, mesh=mesh, gain=gain
         )
         return jnp.sum(out.output), jnp.sum(out.valid_length)
 
@@ -149,11 +153,19 @@ def main():
         # dispatch floor is byte-independent anyway. Every iteration still
         # sees a DISTINCT input and yields a distinct fetched checksum.
         base_d = jnp.asarray(base_rows)  # [B, L], 4 families interleaved
+        # Per-iteration inputs are base_d * amp. By default the scale is
+        # passed as the pipeline's fused input gain (folded into the
+        # mandatory first copies of xs — same math, no standalone [B, L]
+        # multiply materialization per iteration). SPEEDY_BENCH_PRESCALE=1
+        # restores the explicit xs = base_d * amp body for A/B.
+        prescale = os.environ.get("SPEEDY_BENCH_PRESCALE", "0") == "1"
 
         def scan_fn(amps, lens):
             def body(_, amp):
-                xs = base_d * amp
-                s, v = fn(xs, lens)
+                if prescale:
+                    s, v = fn(base_d * amp, lens)
+                else:
+                    s, v = fn(base_d, lens, gain=amp[:, 0])
                 return 0, s
             _, sums = jax.lax.scan(body, 0, amps)
             return sums

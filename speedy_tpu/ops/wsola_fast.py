@@ -277,6 +277,7 @@ def _wsola_grid_batch(
     phase_ref: Optional[jnp.ndarray] = None,
     mask_output: bool = True,
     return_period: bool = False,
+    gain: Optional[jnp.ndarray] = None,
 ) -> WsolaResult:
     """xs[B, L], input_lengths[B], speeds[B, F] -> WsolaResult with
     output[B, capacity], valid_length[B].
@@ -308,9 +309,17 @@ def _wsola_grid_batch(
       return_period:  True additionally returns the per-chunk pitch
                       period [B, K] (the streaming pipeline snaps its
                       phase-reference re-basing to an exact period
-                      multiple of the segment-boundary chunk)."""
+                      multiple of the segment-boundary chunk);
+      gain [B]:       per-utterance input scale, applied where xs is
+                      first copied (the x_pad / pitch-grid builds) so it
+                      FUSES into those mandatory passes — equivalent to
+                      passing xs * gain[:, None] but without an extra
+                      [B, L] materialization (sonicSetVolume-style input
+                      gain at zero bandwidth cost)."""
     dtype = xs.dtype
     B, L = xs.shape
+    g_row = None if gain is None else gain.astype(dtype).reshape(B, 1)
+    xs_g = xs if g_row is None else xs * g_row
     if max_speed_plan is not None:
         speeds = jnp.minimum(speeds, jnp.asarray(max_speed_plan, dtype))
     K = num_chunks
@@ -323,7 +332,7 @@ def _wsola_grid_batch(
     x_pad = jnp.concatenate(
         [
             jnp.zeros((B, pad_front), dtype),
-            xs,
+            xs_g,
             jnp.zeros((B, 2 * maxp + taps + Wn), dtype),
         ],
         axis=1,
@@ -384,7 +393,7 @@ def _wsola_grid_batch(
     # Pitch reads x from sample 0 (x_pad's front padding is synthesis
     # back-reach only): pad xs directly so the reshape stays tile-aligned.
     xs_pitch = jnp.concatenate(
-        [xs, jnp.zeros((B, n_cells * G - L), dtype)], axis=1
+        [xs_g, jnp.zeros((B, n_cells * G - L), dtype)], axis=1
     )
     y = xs_pitch.reshape(B, n_cells, G)
     seg = y[:, :, :seg_w]  # [B, n_grid, seg_w] — slice view, no copy
@@ -527,10 +536,13 @@ def _wsola_grid_batch(
         out = synth(x_pad, a_i, a_f, valid_m)
     else:
         C = xs_channels.shape[1]
+        ch_g = (
+            xs_channels if g_row is None else xs_channels * g_row[:, :, None]
+        )
         ch_pad = jnp.concatenate(
             [
                 jnp.zeros((B, C, pad_front), dtype),
-                xs_channels,
+                ch_g,
                 jnp.zeros((B, C, x_pad.shape[1] - pad_front - L), dtype),
             ],
             axis=2,

@@ -41,7 +41,11 @@ class BatchResult(NamedTuple):
 
 
 def batched_analysis(
-    xs: jnp.ndarray, cfg: SpeedyConfig, num_frames: int, mesh: Optional[Mesh] = None
+    xs: jnp.ndarray,
+    cfg: SpeedyConfig,
+    num_frames: int,
+    mesh: Optional[Mesh] = None,
+    gain: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fused batched front-end: xs[B, L] -> tension[B, T_out].
 
@@ -49,6 +53,11 @@ def batched_analysis(
     structured as whole-batch tensor ops so mesh sharding constraints pin
     dp/sp/tp layouts and XLA fuses across the batch. Uses integer-step
     (shim) framing.
+
+    gain [B] (optional): per-utterance input scale. Framing, preemphasis
+    and the DFT are linear in the samples, so the scale is folded into
+    the windowing multiply (`fw`) — equivalent to analyzing xs * gain
+    (up to fp rounding) with zero extra HBM passes.
     """
     dtype = xs.dtype
     B, L = xs.shape
@@ -91,6 +100,8 @@ def batched_analysis(
     win = jnp.asarray(dft.hamming_window(W, np.dtype(dtype).name))
     cos_m, sin_m = dft.dft_matrices(W, np.dtype(dtype).name)
     fw = pre * win[None, None, :]
+    if gain is not None:
+        fw = fw * gain.astype(dtype)[:, None, None]
     re = jnp.dot(fw, jnp.asarray(cos_m), precision=jax.lax.Precision.HIGHEST)
     im = jnp.dot(fw, jnp.asarray(sin_m), precision=jax.lax.Precision.HIGHEST)
     spec = jnp.sqrt(re * re + im * im)  # [B, T, W+1]
@@ -197,6 +208,7 @@ def _run_grid_engine(
     max_speed_plan: Optional[float],
     mesh: Optional[Mesh],
     xs_channels: Optional[jnp.ndarray] = None,
+    gain: Optional[jnp.ndarray] = None,
 ) -> wsola.WsolaResult:
     """Dispatch the grid WSOLA engine, sharded over the mesh's 'dp' axis.
 
@@ -217,6 +229,7 @@ def _run_grid_engine(
         return wsola_fast._wsola_grid_batch(
             xs, lengths, speeds, minp, maxp, step, hop, gcap, K,
             xs_channels=xs_channels, max_speed_plan=max_speed_plan,
+            gain=gain,
         )
     dp = mesh.shape["dp"]
     B = xs.shape[0]
@@ -238,8 +251,14 @@ def _run_grid_engine(
                     jnp.zeros((pad,) + xs_channels.shape[1:], xs_channels.dtype),
                 ]
             )
+    has_gain = gain is not None
+    if has_gain and pad:
+        gain = jnp.concatenate([gain, jnp.zeros((pad,), gain.dtype)])
     args = [xs, lengths, speeds]
     in_specs = [P("dp", None), P("dp"), P("dp", None)]
+    if has_gain:
+        args.append(gain)
+        in_specs.append(P("dp"))
     if xs_channels is None:
         out_specs = wsola.WsolaResult(P("dp", None), P("dp"), P("dp"))
     else:
@@ -247,11 +266,14 @@ def _run_grid_engine(
         in_specs.append(P("dp", None, None))
         out_specs = wsola.WsolaResult(P("dp", None, None), P("dp"), P("dp"))
 
-    def body(x, l, s, *ch):
+    def body(x, l, s, *rest):
+        rest = list(rest)
+        g = rest.pop(0) if has_gain else None
         return wsola_fast._wsola_grid_batch(
             x, l, s, minp, maxp, step, hop, gcap, K,
-            xs_channels=ch[0] if ch else None,
+            xs_channels=rest.pop(0) if rest else None,
             max_speed_plan=max_speed_plan,
+            gain=g,
         )
 
     out = jax.shard_map(
@@ -292,12 +314,19 @@ def batched_nonlinear_speedup(
     capacity: Optional[int] = None,
     num_steps: Optional[int] = None,
     engine: str = "grid",
+    gain: Optional[jnp.ndarray] = None,
 ) -> BatchResult:
     """One device step: xs[B, L] float32 (±1), lengths[B] -> sped-up audio.
 
     Jit-compatible (close over the static args or use compile_batch_step).
     engine: "grid" (parallel WSOLA, the TPU throughput path) or "scan"
     (sonic-exact sequential algebra).
+
+    gain [B] (optional): per-utterance input scale (sonicSetVolume-style,
+    classic sonic.c's volume control that the sonic2 shim dropped).
+    Folded into the pipeline's mandatory first copies of xs (analysis
+    windowing, WSOLA pad/pitch-grid builds) — same result as passing
+    xs * gain[:, None] up to fp rounding, with no extra [B, L] HBM pass.
     """
     B, L = xs.shape
     step = cfg.frame_step_int
@@ -312,7 +341,7 @@ def batched_nonlinear_speedup(
     if num_steps is not None:
         steps = num_steps
 
-    tension = batched_analysis(xs, cfg, T, mesh)
+    tension = batched_analysis(xs, cfg, T, mesh, gain=gain)
     if tension.shape[1] == 0:
         # Entire batch shorter than the tension lookahead: every frame
         # drains at the requested speed (the shim's flush behavior).
@@ -353,9 +382,11 @@ def batched_nonlinear_speedup(
         max_speed_plan = _plan_max_speed(global_speed, nonlinear_factor)
         out = _run_grid_engine(
             xs, lengths.astype(jnp.int32), speeds, minp, maxp, step, hop,
-            gcap, K, max_speed_plan, mesh,
+            gcap, K, max_speed_plan, mesh, gain=gain,
         )
     else:
+        if gain is not None:
+            xs = xs * gain.astype(xs.dtype)[:, None]
         out = jax.vmap(
             lambda x, s, l: wsola._wsola_scan(
                 x, l.astype(jnp.int32), s, minp, maxp, step, cap, steps

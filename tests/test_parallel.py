@@ -268,3 +268,38 @@ def test_batched_multichannel():
     for b in range(2):
         assert 1500 < v2[b] < 4000
         assert not y2[b, :, v2[b] :].any()
+
+
+def test_fused_input_gain_matches_prescaled():
+    """gain=g must equal processing xs * g[:, None] (the multiply is
+    folded into the pipeline's first copies; linearity of framing/
+    preemphasis/DFT makes it exact up to fp rounding) — on both the
+    grid and scan engines, and under a mesh."""
+    xs = make_batch(B=8)
+    lengths = jnp.asarray([8000] * 8, jnp.int32)
+    g = jnp.asarray(np.linspace(0.4, 1.1, 8), jnp.float32)
+    scaled = jnp.asarray(xs) * g[:, None]
+    for engine in ("grid", "scan"):
+        ref = batched_nonlinear_speedup(
+            scaled, lengths, CFG16, 3.0, engine=engine
+        )
+        got = batched_nonlinear_speedup(
+            jnp.asarray(xs), lengths, CFG16, 3.0, engine=engine, gain=g
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.valid_length), np.asarray(ref.valid_length)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.output), np.asarray(ref.output), atol=2e-4
+        )
+    if jax.device_count() >= 4:
+        mesh = make_mesh(dp=jax.device_count() // 2, tp=2)
+        got_m = jax.jit(
+            lambda x, l, gg: batched_nonlinear_speedup(
+                x, l, CFG16, 3.0, mesh=mesh, gain=gg
+            )
+        )(jnp.asarray(xs), lengths, g)
+        ref_m = batched_nonlinear_speedup(scaled, lengths, CFG16, 3.0)
+        np.testing.assert_allclose(
+            np.asarray(got_m.output), np.asarray(ref_m.output), atol=2e-3
+        )

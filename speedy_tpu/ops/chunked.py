@@ -169,7 +169,7 @@ def make_chunk_step(cfg: SpeedyConfig, chunk_frames: int, dtype: str = "float32"
         pre = frames - jnp.asarray(C.PREEMPHASIS_COEF, dtype) * prev
 
         fw = pre * win[None, :]
-        hi = jax.lax.Precision.HIGHEST
+        hi = dft.analysis_precision()
         re = jnp.dot(fw, cos_m, precision=hi)
         im = jnp.dot(fw, sin_m, precision=hi)
         half = jnp.sqrt(re * re + im * im)[:, :W]  # bins 0..fft/2-1

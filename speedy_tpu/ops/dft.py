@@ -11,12 +11,32 @@ with the window multiply. This is the hot op of the front-end.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import SpeedyConfig
+
+
+def analysis_precision():
+    """Matmul precision for the ANALYSIS-side DFTs (trace-time; clear jit
+    caches after changing SPEEDY_ANALYSIS_PRECISION=default|high|highest).
+
+    Distinct from the pitch-search einsums, which measurably need HIGHEST
+    (HIGH re-ranks 1.7% of periods; see ops/wsola_fast.py). The analysis
+    golden gates vs Matlab sit at ~27-30 dB SNR, so HIGH (3-pass bf16,
+    ~2^-16 relative error, ~2x HIGHEST's matmul rate) is quality-neutral
+    here — verified on hardware against the golden gates before flipping
+    the default.
+    """
+    name = os.environ.get("SPEEDY_ANALYSIS_PRECISION", "highest").lower()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
 
 
 @functools.lru_cache(maxsize=16)
@@ -44,12 +64,14 @@ def dft_matrices(window_size: int, dtype: str = "float32"):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "precision"))
 def magnitude_spectrogram(
-    frames: jnp.ndarray, cfg: SpeedyConfig, precision=jax.lax.Precision.HIGHEST
+    frames: jnp.ndarray, cfg: SpeedyConfig, precision=None
 ) -> jnp.ndarray:
     """|DFT| of Hamming-windowed, zero-padded frames: [T, W] -> [T, W+1].
 
     Matches speedySpectrogram (speedy.c:438-454) bins 0..fft_size/2.
     """
+    if precision is None:
+        precision = analysis_precision()
     dtype = frames.dtype
     win = jnp.asarray(hamming_window(cfg.window_size, np.dtype(dtype).name))
     cos_m, sin_m = dft_matrices(cfg.window_size, np.dtype(dtype).name)

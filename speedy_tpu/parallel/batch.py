@@ -102,8 +102,9 @@ def batched_analysis(
     fw = pre * win[None, None, :]
     if gain is not None:
         fw = fw * gain.astype(dtype)[:, None, None]
-    re = jnp.dot(fw, jnp.asarray(cos_m), precision=jax.lax.Precision.HIGHEST)
-    im = jnp.dot(fw, jnp.asarray(sin_m), precision=jax.lax.Precision.HIGHEST)
+    prec = dft.analysis_precision()
+    re = jnp.dot(fw, jnp.asarray(cos_m), precision=prec)
+    im = jnp.dot(fw, jnp.asarray(sin_m), precision=prec)
     spec = jnp.sqrt(re * re + im * im)  # [B, T, W+1]
     spec = c(spec, P("dp", None, "tp"))  # tensor-parallel over DFT bins
 
@@ -438,12 +439,15 @@ def batched_nonlinear_speedup_multichannel(
     duration_feedback_strength: float = 0.1,
     min_speed_bound: Optional[float] = None,
     mesh: Optional[Mesh] = None,
+    gain: Optional[jnp.ndarray] = None,
 ) -> BatchResult:
     """Multichannel batch step: xs[B, L, C] -> output[B, C, capacity].
 
     Analysis runs on the channel mean (the shim's mixdown, soniclib.c:
     262-287); every channel is resynthesized with the mono-derived pitch
-    and phase positions, so identical channels stay identical."""
+    and phase positions, so identical channels stay identical.
+    gain [B] (optional): fused per-utterance input scale (see
+    batched_nonlinear_speedup)."""
     B, L, C = xs.shape
     mono = jnp.mean(xs, axis=2)
     step = cfg.frame_step_int
@@ -454,7 +458,7 @@ def batched_nonlinear_speedup_multichannel(
         min_speed_bound = 1.0 if global_speed >= 1.0 else max(C_MIN, 0.3 * global_speed)
     minp, maxp, _, _ = wsola.plan(cfg, L, min_speed_bound)
 
-    tension = batched_analysis(mono, cfg, T, mesh)
+    tension = batched_analysis(mono, cfg, T, mesh, gain=gain)
     if tension.shape[1] == 0:
         speeds = jnp.full((B, 1), global_speed, mono.dtype)
     elif global_speed > 1.0:
@@ -491,6 +495,7 @@ def batched_nonlinear_speedup_multichannel(
         max_speed_plan,
         mesh,
         xs_channels=jnp.transpose(xs, (0, 2, 1)),
+        gain=gain,
     )
     return BatchResult(out.output, out.valid_length, tension, speeds)
 

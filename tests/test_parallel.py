@@ -303,3 +303,25 @@ def test_fused_input_gain_matches_prescaled():
         np.testing.assert_allclose(
             np.asarray(got_m.output), np.asarray(ref_m.output), atol=2e-3
         )
+
+
+def test_fused_input_gain_multichannel():
+    """Multichannel gain path == prescaled multichannel input."""
+    from speedy_tpu.parallel.batch import batched_nonlinear_speedup_multichannel
+
+    xs = make_batch(B=2, L=8000)
+    st = np.stack([xs, 0.5 * xs], axis=2)  # [B, L, 2]
+    lengths = jnp.asarray([8000, 8000], jnp.int32)
+    g = jnp.asarray([0.6, 1.2], jnp.float32)
+    ref = batched_nonlinear_speedup_multichannel(
+        jnp.asarray(st) * g[:, None, None], lengths, CFG16, 3.0
+    )
+    got = batched_nonlinear_speedup_multichannel(
+        jnp.asarray(st), lengths, CFG16, 3.0, gain=g
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.valid_length), np.asarray(ref.valid_length)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.output), np.asarray(ref.output), atol=2e-4
+    )

@@ -308,6 +308,7 @@ def _gather_synth_kernel(
     r7k_ref,
     af_ref,
     win_ref,
+    gain_ref,
     x_ref,
     out_ref,
     scratch,
@@ -449,6 +450,13 @@ def _gather_synth_kernel(
                 nxt = pltpu.roll(pltpu.roll(slab, TOT - R, 0), 128 - sh, 1)
                 shifted = jnp.where(lane < 128 - sh, cur, nxt)
                 slab = jnp.where((r7k & sh) != 0, shifted, slab)
+            # Per-utterance input gain, applied to the selected slab (all
+            # downstream math — interp, window, OLA, the unwindowed slot-0
+            # — is linear in x). Keeping the gain HERE instead of on the
+            # HBM source makes the padded source gain-free, so in serving
+            # loops XLA hoists the pad as loop-invariant staging and the
+            # per-utterance multiply never touches a [B, L] HBM pass.
+            slab = slab * jnp.broadcast_to(gain_ref[0, 0:1, :], slab.shape)
             # raw[i] = slab[i]*(1-af) + slab[i+1]*af (one more 1-lane shift)
             cur = pltpu.roll(slab, 127, 1)
             nxt = pltpu.roll(pltpu.roll(slab, TOT - R, 0), 127, 1)
@@ -574,6 +582,7 @@ def gather_synth_block_pallas(
     w_span: int,
     n_valid: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    gain: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fused WSOLA synthesis tail: x[B, L], near-monotone starts[B, K],
     fractional delays af[B, K] -> OLA slots [B, K, hop] (slot k =
@@ -670,12 +679,28 @@ def gather_synth_block_pallas(
     win_pad[: 2 * hop] = win_np
     win2 = jnp.asarray(win_pad.reshape(win_rows, 128))
 
-    Lp = -(-L // 1024) * 1024
-    xp = x if Lp == L else jnp.concatenate(
-        [x, jnp.zeros((B, Lp - L), x.dtype)], axis=1
+    # Per-utterance gain as a lane-broadcast row (ones when absent:
+    # x * 1.0 == x bitwise, so the unconditional in-kernel multiply is
+    # a no-op numerically and costs one VPU pass over the slab).
+    # Shape [B, 8, 128]: Mosaic blocks need their last two dims 8x128.
+    g_row = (
+        jnp.ones((B, 8, 128), x.dtype)
+        if gain is None
+        else jnp.broadcast_to(
+            gain.astype(x.dtype)[:, None, None], (B, 8, 128)
+        )
     )
-    flat = jnp.concatenate([xp.reshape(-1), jnp.zeros((w_rows + 8) * 128, x.dtype)])
-    x2 = flat.reshape(-1, 128)
+
+    # ONE fused pad builds the kernel's flat HBM view (the old column-pad
+    # concat + flatten-append chain copied x through HBM twice per call):
+    # the per-row tail covers the widest interp/selection read past L
+    # (starts <= L-1, + width + the s1 lane), the g ghost zero rows at the
+    # bottom cover the LAST row's span-DMA overrun (earlier rows' DMA fill
+    # reads the next row's real samples — harmless: fill rows are
+    # multiplied by 0.0 in the one-hot select and only need to be finite).
+    Lp = -(-(L + width + 8) // 1024) * 1024
+    g = -(-((w_rows + 8) * 128) // Lp)
+    x2 = jnp.pad(x, ((0, g), (0, Lp - L))).reshape(-1, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -695,6 +720,10 @@ def gather_synth_block_pallas(
             ),
             pl.BlockSpec(
                 (win_rows, 128), lambda b, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, 128), lambda b, *_: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -732,6 +761,7 @@ def gather_synth_block_pallas(
         r7k,
         af_tm,
         win2,
+        g_row,
         x2,
     )
     # T-major slot tiles -> [B, K, hop] without a transpose pass: slice

@@ -254,6 +254,7 @@ def _gather_rows_spans(
         "span_rows",
         "mask_output",
         "return_period",
+        "debug_stage",
     ),
 )
 def _wsola_grid_batch(
@@ -278,6 +279,7 @@ def _wsola_grid_batch(
     mask_output: bool = True,
     return_period: bool = False,
     gain: Optional[jnp.ndarray] = None,
+    debug_stage: Optional[str] = None,
 ) -> WsolaResult:
     """xs[B, L], input_lengths[B], speeds[B, F] -> WsolaResult with
     output[B, capacity], valid_length[B].
@@ -310,12 +312,21 @@ def _wsola_grid_batch(
                       period [B, K] (the streaming pipeline snaps its
                       phase-reference re-basing to an exact period
                       multiple of the segment-boundary chunk);
-      gain [B]:       per-utterance input scale, applied where xs is
-                      first copied (the x_pad / pitch-grid builds) so it
-                      FUSES into those mandatory passes — equivalent to
-                      passing xs * gain[:, None] but without an extra
-                      [B, L] materialization (sonicSetVolume-style input
-                      gain at zero bandwidth cost)."""
+      debug_stage:    profiling hook (experiments/inprog_pipeline.py):
+                      'timemap' | 'pitch' | 'phase' returns a scalar
+                      checksum of that stage's outputs instead of a
+                      WsolaResult, so cumulative-prefix timing bisects
+                      the PRODUCTION code (XLA DCEs everything after the
+                      checksum) without a drifting re-implementation.
+      gain [B]:       per-utterance input scale, equivalent to passing
+                      xs * gain[:, None] up to fp rounding but with no
+                      standalone [B, L] materialization: the pitch path
+                      folds it into the pitch-grid build (mandatory
+                      copy), and the fused synthesis kernel applies it
+                      in VMEM post-selection — keeping the padded HBM
+                      source gain-free, so serving scans hoist the pad
+                      as loop-invariant staging (sonicSetVolume-style
+                      input gain at zero bandwidth cost)."""
     dtype = xs.dtype
     B, L = xs.shape
     g_row = None if gain is None else gain.astype(dtype).reshape(B, 1)
@@ -328,15 +339,14 @@ def _wsola_grid_batch(
     maxp, minp = max_period, min_period
     n_frames = speeds.shape[1]
     taps = maxp
+    # Synthesis positions are clipped to [0, L-1] below, so no front
+    # padding is ever read: the fused TPU path hands RAW xs_g to
+    # gather_synth_block_pallas, whose single fused jnp.pad builds the
+    # kernel's flat HBM view directly (the old x_pad concat + the
+    # wrapper's flatten-append chain cost two extra full HBM copies of x
+    # per step). The XLA fallback builds its padded buffer inside synth()
+    # (only traced on the branch actually taken).
     pad_front = maxp
-    x_pad = jnp.concatenate(
-        [
-            jnp.zeros((B, pad_front), dtype),
-            xs_g,
-            jnp.zeros((B, 2 * maxp + taps + Wn), dtype),
-        ],
-        axis=1,
-    )
     lens_f = input_lengths.astype(dtype)
 
     # ---- 1. time map ----
@@ -376,6 +386,8 @@ def _wsola_grid_batch(
     if in_offset is not None:
         c = c + in_offset[:, None].astype(dtype)
     c = jnp.clip(c, 0.0, jnp.maximum(lens_f - 1.0, 0.0)[:, None])
+    if debug_stage == "timemap":
+        return jnp.sum(c) + jnp.sum(valid).astype(dtype)
 
     seg_w = taps + maxp
     # Pitch grid stride: the smallest 128-multiple >= max(3*Hs, seg_w) —
@@ -447,6 +459,8 @@ def _wsola_grid_batch(
     # Look up the period at each chunk's nominal source position.
     g_idx = jnp.clip(jnp.round(c / G).astype(jnp.int32), 0, n_grid - 1)
     period = jnp.take_along_axis(period_grid, g_idx, axis=1)  # [B, K]
+    if debug_stage == "pitch":
+        return jnp.sum(period) + jnp.sum(valid).astype(dtype)
 
     # ---- 3. phase snap, closed form (no scan) ----
     # The recurrence a_k = c_k + wrap(a_{k-1} + Hs - c_k, P_k) telescopes:
@@ -461,6 +475,8 @@ def _wsola_grid_batch(
     delta = pr + kk * Hs - c
     o = delta - jnp.round(delta / period) * period
     a = jnp.clip(c + o, 0.0, (lens_f - 1.0)[:, None])  # [B, K]
+    if debug_stage == "phase":
+        return jnp.sum(a) + jnp.sum(valid).astype(dtype)
 
     # ---- 4. synthesis: fractional-delay gather, half-slot OLA ----
     win = jnp.asarray(_cola_hann(Wn, np.dtype(dtype).name))
@@ -478,9 +494,14 @@ def _wsola_grid_batch(
         )
         w_span = -(-need // 1024) * 1024
 
-    def synth(src_pad, a_i_s, a_f_s, valid_s):
-        # src_pad [N, Lp]; positions [N, K] -> output [N, capacity]
-        n = src_pad.shape[0]
+    def synth(src_raw, a_i_s, a_f_s, valid_s, g_s=None):
+        # src_raw [N, L] (unpadded, UNSCALED); positions [N, K] ->
+        # [N, capacity]. g_s [N] (optional): per-row input gain — the
+        # fused kernel applies it in VMEM post-selection so the padded
+        # HBM source stays gain-free (loop-invariant staging in serving
+        # scans); the XLA fallback folds it into its pad concat (the
+        # prescale order, bitwise-identical to passing src_raw * g_s).
+        n = src_raw.shape[0]
         # Rows whose output slot is past valid_s contribute nothing the
         # capacity mask keeps; skip their DMAs.
         valid_rows = jnp.minimum(valid_s // Hs + 2, K)
@@ -494,15 +515,26 @@ def _wsola_grid_batch(
             # Fused kernel: span gather + interp + window + OLA in VMEM,
             # emitting final slots — the separate gather + XLA interp
             # pipeline moves ~1.1 GB/step of HBM padding at these shapes.
+            # Raw source, raw starts: the wrapper's single fused pad is
+            # the only copy of x between HBM and the span DMAs.
             from .pallas_kernels import gather_synth_block_pallas
 
             slots = gather_synth_block_pallas(
-                src_pad, a_i_s + pad_front, a_f_s, Hs, Wn + 1,
+                src_raw, a_i_s, a_f_s, Hs, Wn + 1,
                 span_rows, w_span, valid_rows,
-                interpret=not on_tpu,
+                interpret=not on_tpu, gain=g_s,
             )  # [N, K, Hs]
             out_full = slots.reshape(n, K * Hs)
         else:
+            src_s = src_raw if g_s is None else src_raw * g_s[:, None]
+            src_pad = jnp.concatenate(
+                [
+                    jnp.zeros((n, pad_front), dtype),
+                    src_s,
+                    jnp.zeros((n, 2 * maxp + taps + Wn), dtype),
+                ],
+                axis=1,
+            )
             if w_span is None:
                 wide = _gather_rows(
                     src_pad, a_i_s + pad_front, Wn + 1, valid_rows
@@ -532,25 +564,16 @@ def _wsola_grid_batch(
     # mask_output=False (streaming continuation): every slot is real
     # output owned by the caller — no zero-mask, no valid-row DMA skips.
     valid_m = valid if mask_output else jnp.full((B,), capacity, jnp.int32)
+    g_vec = None if gain is None else gain.astype(dtype)
     if xs_channels is None:
-        out = synth(x_pad, a_i, a_f, valid_m)
+        out = synth(xs, a_i, a_f, valid_m, g_vec)
     else:
         C = xs_channels.shape[1]
-        ch_g = (
-            xs_channels if g_row is None else xs_channels * g_row[:, :, None]
-        )
-        ch_pad = jnp.concatenate(
-            [
-                jnp.zeros((B, C, pad_front), dtype),
-                ch_g,
-                jnp.zeros((B, C, x_pad.shape[1] - pad_front - L), dtype),
-            ],
-            axis=2,
-        ).reshape(B * C, -1)
-        rep = lambda v: jnp.repeat(v, C, axis=0)
-        out = synth(ch_pad, rep(a_i), rep(a_f), rep(valid_m)).reshape(
-            B, C, capacity
-        )
+        rep = lambda v: None if v is None else jnp.repeat(v, C, axis=0)
+        out = synth(
+            xs_channels.reshape(B * C, L),
+            rep(a_i), rep(a_f), rep(valid_m), rep(g_vec),
+        ).reshape(B, C, capacity)
     res = WsolaResult(out, valid, jnp.full((B,), K, jnp.int32))
     if return_period:
         return res, period

@@ -261,6 +261,46 @@ def test_grid_pipeline_fused_synth(monkeypatch):
         wf._wsola_grid_batch.clear_cache()
 
 
+def test_fused_synth_in_kernel_gain(monkeypatch):
+    """The fused kernel's in-VMEM per-row gain (applied post-selection so
+    the padded HBM source stays gain-free / loop-invariant) must match
+    prescaling the input, through the full production pipeline wiring."""
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.parallel.batch import batched_nonlinear_speedup
+
+    cfg = SpeedyConfig(16000)
+    rng = np.random.default_rng(11)
+    B, L = 3, 12000
+    t = np.arange(L) / 16000.0
+    base = (
+        0.3 * np.sin(2 * np.pi * np.array([150.0, 220.0, 95.0])[:, None] * t)
+        * np.clip(np.sin(2 * np.pi * 2.5 * t), 0, None)
+        + 0.002 * rng.standard_normal((B, L))
+    ).astype(np.float32)
+    lengths = jnp.asarray([L, L - 1700, L], jnp.int32)
+    g = jnp.asarray([0.5, 0.9, 1.2], jnp.float32)
+
+    monkeypatch.setenv("SPEEDY_FORCE_FUSED_SYNTH", "interpret")
+    from speedy_tpu.ops import wsola_fast as wf
+
+    wf._wsola_grid_batch.clear_cache()
+    try:
+        ref = batched_nonlinear_speedup(
+            jnp.asarray(base) * g[:, None], lengths, cfg, 3.0
+        )
+        got = batched_nonlinear_speedup(
+            jnp.asarray(base), lengths, cfg, 3.0, gain=g
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.valid_length), np.asarray(ref.valid_length)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.output), np.asarray(ref.output), atol=2e-4
+        )
+    finally:
+        wf._wsola_grid_batch.clear_cache()
+
+
 def test_pitch_ssd_kernel_interpret_matches_xla():
     """pitch_ssd_pallas (kept as a documented measured-equal alternative
     to the production einsum path) must agree with ssd_matmul +

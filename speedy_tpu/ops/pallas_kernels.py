@@ -1063,7 +1063,9 @@ def pitch_ssd_pallas(
     B, nc, G = xg.shape
     seg_w = taps + maxp
     assert G % 128 == 0 and G >= seg_w
-    M = -(-max(seg_w, taps + maxp) // 128) * 128
+    from .wsola_fast import _pitch_dft_size
+
+    M = _pitch_dft_size(max(seg_w, taps + maxp))
     n_lags = maxp - minp + 1
     n_lag_pad = -(-n_lags // 128) * 128
     GC = gc_cells  # grid cells per program (static; 128 and 256 measured equal)

@@ -70,6 +70,17 @@ def _cola_hann(width: int, dtype: str = "float32") -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * i / width)).astype(dtype)
 
 
+def _pitch_dft_size(req: int) -> int:
+    """Smallest even DFT length M >= req whose real-bin count
+    nb = M//2 + 1 is a 128-multiple. The DFT is a MATMUL (not an FFT),
+    so M needs no special factorization — and the matmuls' lane dimension
+    is nb, so aligning nb (not M) is what avoids Mosaic/XLA padding the
+    [.., 2nb] DFT products up to the next 128 tile (M=512 gives nb=257 ->
+    lanes padded ~25-49%; M=510 gives nb=256 exactly)."""
+    nb = -(-(-(-req // 2) + 1) // 128) * 128
+    return 2 * nb - 2
+
+
 @functools.lru_cache(maxsize=16)
 def _pitch_corr_matrices(
     taps: int, seg_w: int, minp: int, maxp: int, M: int, dtype: str = "float32"
@@ -400,8 +411,12 @@ def _wsola_grid_batch(
     # concat materialized ~125 MB/step), and 128 | G keeps the reshape
     # lane-aligned so XLA fuses the views into the DFT einsums.
     G = -(-max(3 * Hs, seg_w) // 128) * 128  # G >= seg_w by construction
-    n_cells = -(-(L + seg_w) // G)
-    n_grid = n_cells
+    # Cell count rounded up to the pitch kernel's GC=64 program size so
+    # its internal padding is a no-op (otherwise it would concat-copy the
+    # whole grid); the extra zero cells cost ~1 MB of the pad that builds
+    # xs_pitch anyway, and g_idx below is clipped to the REAL cell range.
+    n_grid = -(-(L + seg_w) // G)  # real cells (g_idx clip bound)
+    n_cells = -(-n_grid // 64) * 64
     # Pitch reads x from sample 0 (x_pad's front padding is synthesis
     # back-reach only): pad xs directly so the reshape stays tile-aligned.
     xs_pitch = jnp.concatenate(
@@ -414,7 +429,7 @@ def _wsola_grid_batch(
         template = first a_taps samples, as DFT matmuls on the MXU (see
         _pitch_corr_matrices) — XLA's TPU FFT lowering is ~7x slower."""
         w = seg_c.shape[-1]
-        M = -(-max(w, a_taps + lag_hi) // 128) * 128
+        M = _pitch_dft_size(max(w, a_taps + lag_hi))
         nb = M // 2 + 1
         nl = lag_hi - lag_lo + 1
         mats = _pitch_corr_matrices(
@@ -448,14 +463,29 @@ def _wsola_grid_batch(
         frac = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
         return (lag_lo + jc).astype(dtype) + jnp.clip(frac, -0.5, 0.5)
 
-    # NOTE measured dead end: a Pallas pitch kernel with VMEM-resident DFT
-    # matrices (pallas_kernels.pitch_ssd_pallas) lands at the same device
-    # time as these einsums (~4.7-5.0 ms/step at B=128, GC 128-256) — XLA
-    # already fuses the window views into the einsum operands, and the
-    # kernel pays +33% FLOPs for 257->384 lane padding. The XLA path wins
-    # on simplicity; the kernel is kept (tested) for the record.
-    ssd = ssd_matmul(seg, taps, minp, maxp, _PITCH_PRECISION)
-    period_grid = parabolic_min(ssd, minp, maxp - minp - 1)
+    # Production pitch on TPU: the Pallas kernel with VMEM-resident DFT
+    # matrices (pallas_kernels.pitch_ssd_pallas). An earlier round
+    # measured it EQUAL to the einsums — but that was with M=512 (nb=257,
+    # Mosaic pads the DFT-product lanes 257->384, +33% FLOPs); with the
+    # nb-lane-aligned M=510 the kernel reads x across HBM exactly once
+    # and wins 3.03 vs 3.98 ms/step at the B=96 bench point (GC=64 knee;
+    # experiments/pitch_kernel_vs_einsum.py). Period decisions agree with
+    # the einsum path on every strongly-voiced cell; near-silence cells
+    # flip argmin ties under fp noise, which phase snapping absorbs (any
+    # period multiple aligns phase). The einsum path remains the
+    # off-TPU/reference formulation; SPEEDY_FORCE_PITCH_KERNEL=interpret
+    # routes the kernel through interpret mode for hermetic coverage.
+    force_pitch = os.environ.get("SPEEDY_FORCE_PITCH_KERNEL", "")
+    on_tpu_p = jax.default_backend() == "tpu"
+    if on_tpu_p or force_pitch == "interpret":
+        from .pallas_kernels import pitch_ssd_pallas
+
+        period_grid = pitch_ssd_pallas(
+            y, taps, minp, maxp, gc_cells=64, interpret=not on_tpu_p
+        )
+    else:
+        ssd = ssd_matmul(seg, taps, minp, maxp, _PITCH_PRECISION)
+        period_grid = parabolic_min(ssd, minp, maxp - minp - 1)
     # Look up the period at each chunk's nominal source position.
     g_idx = jnp.clip(jnp.round(c / G).astype(jnp.int32), 0, n_grid - 1)
     period = jnp.take_along_axis(period_grid, g_idx, axis=1)  # [B, K]

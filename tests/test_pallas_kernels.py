@@ -301,6 +301,44 @@ def test_fused_synth_in_kernel_gain(monkeypatch):
         wf._wsola_grid_batch.clear_cache()
 
 
+def test_grid_pipeline_kernel_pitch(monkeypatch):
+    """SPEEDY_FORCE_PITCH_KERNEL=interpret routes the PRODUCTION pitch
+    kernel (pitch_ssd_pallas, the TPU path) through the full
+    _wsola_grid_batch pipeline hermetically; on a well-voiced signal the
+    output must match the einsum-pitch pipeline (near-silence argmin tie
+    flips are absorbed by phase snapping and the tolerance)."""
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.ops import wsola_fast as wf
+
+    cfg = SpeedyConfig(16000)
+    L = 16000
+    t = np.arange(L) / 16000.0
+    x = (
+        0.4 * np.sin(2 * np.pi * 160 * t)
+        + 0.2 * np.sin(2 * np.pi * 320 * t)
+        + 0.004 * np.random.default_rng(3).standard_normal(L)
+    ).astype(np.float32)
+    F = L // cfg.frame_step_int
+    speeds = np.linspace(2.0, 3.2, F).astype(np.float32)
+
+    ref = wf.time_scale_grid(x, speeds, cfg, max_speed_bound=4.0)
+
+    monkeypatch.setenv("SPEEDY_FORCE_PITCH_KERNEL", "interpret")
+    wf._wsola_grid_batch.clear_cache()
+    try:
+        got = wf.time_scale_grid(x, speeds, cfg, max_speed_bound=4.0)
+        assert int(got.valid_length) == int(ref.valid_length)
+        # 1e-3: the kernel's dot rounding shifts sub-sample period
+        # fractions by ulps, which the fractional-delay interp turns into
+        # ~2e-4 sample differences (measured max 2.4e-4; a genuine period
+        # flip would produce O(signal) differences).
+        np.testing.assert_allclose(
+            np.asarray(got.output), np.asarray(ref.output), rtol=0, atol=1e-3
+        )
+    finally:
+        wf._wsola_grid_batch.clear_cache()
+
+
 def test_pitch_ssd_kernel_interpret_matches_xla():
     """pitch_ssd_pallas (kept as a documented measured-equal alternative
     to the production einsum path) must agree with ssd_matmul +

@@ -1009,7 +1009,7 @@ def _pitch_kernel_matrices(taps: int, seg_w: int, minp: int, maxp: int,
 
 def _pitch_ssd_kernel(taps, n_lags, minp, n_lag_pad,
                       x_ref, eaR, eaI, esR, esI, invR, invI, bandL, band0,
-                      out_ref):
+                      gain_ref, out_ref):
     """One program per GC grid cells: windowed SSD over the pitch lag
     range as split-complex DFT matmuls on the MXU with all matrices
     VMEM-resident (fetched once — constant block index across the grid),
@@ -1018,6 +1018,14 @@ def _pitch_ssd_kernel(taps, n_lags, minp, n_lag_pad,
     operand once per einsum; here x crosses HBM exactly once."""
     slab = x_ref[0]  # [GC, G] — cell g's window is its first seg_w lanes
     dt = slab.dtype
+    # Per-utterance input gain applied in VMEM: multiplying the slab by
+    # a scalar is element-for-element the same f32 multiply as
+    # prescaling the HBM source, so period decisions match the prescaled
+    # path while the padded source stays gain-free (loop-invariant
+    # staging in serving scans — mirrors _gather_synth_kernel's gain).
+    # The [1, 128] VMEM row is constant-valued; max() collapses it to the
+    # scalar (Mosaic block shapes forbid a (1, 1) SMEM spec here).
+    slab = slab * jnp.max(gain_ref[0, 0:1, :])
     hi = jax.lax.Precision.HIGHEST
     a0 = slab[:, :taps]
     dot = lambda a, m: jnp.dot(a, m, preferred_element_type=dt, precision=hi)
@@ -1055,6 +1063,7 @@ def pitch_ssd_pallas(
     maxp: int,
     gc_cells: int = 128,
     interpret: bool = False,
+    gain: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """xg [B, nc, G] (G a 128-multiple >= seg_w = taps + maxp; cell g's
     window = its first seg_w samples, zero-tailed past the signal) ->
@@ -1078,6 +1087,15 @@ def pitch_ssd_pallas(
         taps, seg_w, minp, maxp, M, n_lag_pad, str(np.dtype(xg.dtype))
     )
     mats = tuple(jnp.asarray(m) for m in mats)
+    # Per-utterance gain as a lane-broadcast VMEM row (ones when absent:
+    # x * 1.0 is bitwise x) — see _pitch_ssd_kernel.
+    g_arr = (
+        jnp.ones((B, 8, 128), xg.dtype)
+        if gain is None
+        else jnp.broadcast_to(
+            gain.astype(xg.dtype)[:, None, None], (B, 8, 128)
+        )
+    )
     c0 = lambda b, cb: (0, 0)
     out = pl.pallas_call(
         functools.partial(_pitch_ssd_kernel, taps, n_lags, minp, n_lag_pad),
@@ -1088,6 +1106,10 @@ def pitch_ssd_pallas(
                 pl.BlockSpec(m.shape, c0)  # constant index: fetched once
                 for m in mats
             ],
+            pl.BlockSpec(
+                (1, 8, 128), lambda b, cb: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec((1, GC, 128), lambda b, cb: (b, cb, 0)),
         out_shape=jax.ShapeDtypeStruct((B, NC * GC, 128), xg.dtype),
@@ -1095,5 +1117,5 @@ def pitch_ssd_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(xg, *mats)
+    )(xg, *mats, g_arr)
     return out[:, :nc, 0]

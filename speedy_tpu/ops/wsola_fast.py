@@ -419,8 +419,17 @@ def _wsola_grid_batch(
     n_cells = -(-n_grid // 64) * 64
     # Pitch reads x from sample 0 (x_pad's front padding is synthesis
     # back-reach only): pad xs directly so the reshape stays tile-aligned.
+    # Branch decided BEFORE the grid build: the kernel path pads RAW xs
+    # (gain applied in-VMEM by the kernel), so the padded pitch grid is
+    # loop-invariant staging in serving scans, exactly like the
+    # synthesis kernel's padded source; the einsum path keeps the
+    # prescaled build (gain fused into this mandatory copy).
+    force_pitch = os.environ.get("SPEEDY_FORCE_PITCH_KERNEL", "")
+    on_tpu_p = jax.default_backend() == "tpu"
+    kernel_pitch = on_tpu_p or force_pitch == "interpret"
     xs_pitch = jnp.concatenate(
-        [xs_g, jnp.zeros((B, n_cells * G - L), dtype)], axis=1
+        [xs if kernel_pitch else xs_g,
+         jnp.zeros((B, n_cells * G - L), dtype)], axis=1
     )
     y = xs_pitch.reshape(B, n_cells, G)
     seg = y[:, :, :seg_w]  # [B, n_grid, seg_w] — slice view, no copy
@@ -475,13 +484,12 @@ def _wsola_grid_batch(
     # period multiple aligns phase). The einsum path remains the
     # off-TPU/reference formulation; SPEEDY_FORCE_PITCH_KERNEL=interpret
     # routes the kernel through interpret mode for hermetic coverage.
-    force_pitch = os.environ.get("SPEEDY_FORCE_PITCH_KERNEL", "")
-    on_tpu_p = jax.default_backend() == "tpu"
-    if on_tpu_p or force_pitch == "interpret":
+    if kernel_pitch:
         from .pallas_kernels import pitch_ssd_pallas
 
         period_grid = pitch_ssd_pallas(
-            y, taps, minp, maxp, gc_cells=64, interpret=not on_tpu_p
+            y, taps, minp, maxp, gc_cells=64, interpret=not on_tpu_p,
+            gain=gain,
         )
     else:
         ssd = ssd_matmul(seg, taps, minp, maxp, _PITCH_PRECISION)

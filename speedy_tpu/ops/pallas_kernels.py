@@ -361,8 +361,16 @@ def _gather_synth_kernel(
     # Span DMA lengths are bucketed: w_rows covers the worst-case plan
     # speed, but a block's ACTUAL extent (scalar-prefetched nrows) is
     # usually much smaller — at a 3.5x speedup ~60% of the span bytes are
-    # dead. Four static lengths keep the DMA shapes compile-time known.
-    _bl = [-(-(w_rows * c) // (4 * 8)) * 8 for c in (1, 2, 3, 4)]
+    # dead. Static lengths keep the DMA shapes compile-time known; the
+    # ladder runs in eighths from w_sub_rows (the smallest possible need:
+    # nrows = max sub-block window end >= one window) to w_rows, so the
+    # common mid-speed blocks land in a tight bucket instead of the
+    # worst-case one.
+    lo_r = min(w_sub_rows, w_rows)
+    _bl = sorted({
+        min(w_rows, -(-(lo_r + (w_rows - lo_r) * c // 8) // 8) * 8)
+        for c in range(9)
+    })
 
     def span_dma(nb, slot, do):
         s = b * length_rows + bases_ref[b, nb]
@@ -634,10 +642,15 @@ def gather_synth_block_pallas(
     # Actual span extent per block for the bucketed span-DMA lengths.
     # Must cover every hierarchical sub-block window [off, off+w_sub_rows)
     # — the one-hot multiplies un-DMA'd rows by 0.0, which is only safe if
-    # they hold real numbers, not stale NaN/Inf VMEM.
-    nrows = jnp.minimum(jnp.max(q8, axis=2) + w_sub_rows, w_rows).astype(
-        jnp.int32
-    )  # [B, NB]
+    # they hold real numbers, not stale NaN/Inf VMEM. The kernel reads
+    # scratch ONLY through those windows, so the exact requirement is
+    # max_sb(rowoff) + w_sub_rows — for monotone starts that is
+    # ~(SR-1)*step/128 rows tighter than the naive max(q8) + w_sub_rows
+    # (the last sub-block's window START is what matters, not its top
+    # row), which drops many blocks into a smaller DMA bucket.
+    nrows = jnp.minimum(
+        jnp.max(rowoff, axis=2) + w_sub_rows, w_rows
+    ).astype(jnp.int32)  # [B, NB]
     q8k = (
         q8rel[:, :, :, None, :] + ktile[None, None, None, :, None]
     ).reshape(B, NB, nt * R, 1)

@@ -550,7 +550,12 @@ def _span_geometry(starts, width: int, rows_per_block: int, w_span: int, xp):
     offs = (s2 - base_al[:, :, None]).astype(xp.int32)
     q8 = offs // 128
     r7 = offs - q8 * 128
-    SR = min(16, R)
+    # Sub-block height: the hierarchical select's one-hot FLOPs scale as
+    # SR * w_sub_rows where w_sub_rows ~ SR * step_ub, so smaller SR
+    # shrinks the matmuls quadratically at the cost of more dynamic
+    # slices per block. Trace-time experiment knob (clear jit caches
+    # after changing); 16 is the production default.
+    SR = min(int(os.environ.get("SPEEDY_SYNTH_SUBROWS", "16")), R)
     SB = R // SR
     step_ub = -(-w_span // max(R - 1, 1))  # per-row start step bound
     w_sub = (SR - 1) * step_ub + width + 32 + 1024

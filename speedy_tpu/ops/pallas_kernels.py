@@ -1137,3 +1137,323 @@ def pitch_ssd_pallas(
         ),
     )(xg, *mats, g_arr)
     return out[:, :nc, 0]
+
+
+# ---------------------------------------------------------------------------
+# Fused analysis front-end: waveform -> per-frame {energy, lsd}
+# ---------------------------------------------------------------------------
+
+
+def _analysis_geometry(window: int, step: int):
+    """Static frame-extraction geometry for the fused analysis kernel.
+
+    Integer-step analysis frames (soniclib.c:195,265-287: frame f covers
+    [f*step, f*step+window)) repeat their lane phase every gf frames,
+    where gf = lcm(step, 128) / step: frame (g*gf + p)'s window starts at
+    row g*gr + (p*step)//128, lane (p*step) % 128 of a [rows, 128] view.
+    That makes extraction a handful of STATIC strided slices + lane rolls
+    — no gather, no one-hot select. Returns (gf, gr, nt, hb) or None when
+    the geometry is kernel-unfriendly (gf > 8 would unroll too many
+    phases; hb > 384 overflows the split-re/im lane budget)."""
+    g = np.gcd(step, 128)
+    gf = 128 // g
+    gr = step * gf // 128
+    nt = -(-window // 128)
+    hb = -(-(window + 1) // 128) * 128
+    if gf > 8 or hb > 384 or window <= step:
+        return None
+    return gf, gr, nt, hb
+
+
+@functools.lru_cache(maxsize=16)
+def _analysis_matrices(window: int, hb: int, nt: int, dtype: str = "float32"):
+    """DFT basis + Hamming + bin-mask constants, mirroring ops/dft.py.
+
+    E [nt*128, 2*hb]: rows = window-sample index (zero past `window`),
+    lanes [0, hb) = cos basis, [hb, 2hb) = -sin basis for bins
+    0..window (the real-input half of the reference's 2W-point FFT,
+    speedy.c:438-454). ham [8, nt*128] row 0 = Hamming window
+    (speedy.c:256-258). emask [8, hb] row 0 = 1.0 for bins 1..window-1
+    (the energy / spectral-difference band, speedy.c:513-516,713-719)."""
+    W = window
+    n = np.arange(W, dtype=np.float64)[:, None]
+    k = np.arange(W + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * n / (2.0 * W)
+    E = np.zeros((nt * 128, 2 * hb), np.float64)
+    E[:W, :W + 1] = np.cos(ang)
+    E[:W, hb : hb + W + 1] = -np.sin(ang)
+    i = np.arange(W, dtype=np.float64)
+    hamv = 0.54 - 0.46 * np.cos(2.0 * np.pi * i / (W - 1.0))
+    ham = np.zeros((8, nt * 128), np.float64)
+    ham[0, :W] = hamv
+    emask = np.zeros((8, hb), np.float64)
+    emask[0, 1:W] = 1.0
+    f = np.dtype(dtype).type
+    return E.astype(f), ham.astype(f), emask.astype(f)
+
+
+def _analysis_kernel(
+    NC, n_g1, gf, gr, nt, hb, W, step, chunk_rows, l_rows, prec,
+    x_ref, E_ref, ham_ref, em_ref, gain_ref, out_ref, scratch, sems,
+):
+    """One grid program per utterance; NC chunks unrolled with double-
+    buffered chunk DMAs. Per chunk (ng = n_g1 - 1 groups of gf frames,
+    plus one LEADING group so every emitted frame's t-1 neighbor is in
+    VMEM — chunk 0's leading group reads the gr zero rows the wrapper
+    prepends, reproducing the reference's zero spectrogram for frame -1,
+    speedy.c:242-248):
+      1. window extraction: per (phase, tile) a strided sublane slice of
+         the chunk + a static lane roll with row-carry select,
+      2. preemphasis IN VMEM (exact f32): pre[i] = w[i] - 0.97*w[i-1];
+         the cross-frame state entering each frame is the previous
+         frame's last raw sample = window sample W-step-1 of the SAME
+         frame (framing.py: overlapped-frame state-as-gather), frame 0's
+         state is 0 (speedy.c:293,422-423),
+      3. per-utterance gain on the windowed frames (fw * g, matching
+         parallel/batch.py's prescale order bit-for-bit),
+      4. DFT as two tile-split matmuls against the VMEM-resident
+         split-re/im basis (fetched once: constant block index),
+      5. magnitude / energy / 40 dB bin mask / L2-normalize / masked
+         |log-ratio| vs frame t-1 — all on the VMEM slabs; only the
+         [gf, ng] per-frame energy and lsd rows leave the core.
+    """
+    b = pl.program_id(0)
+    ng = n_g1 - 1
+    R = gf * n_g1
+    dt = scratch.dtype
+    eps = jnp.asarray(2.220446049250313e-16, dt)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_g1, 128), 1)
+    grow = jnp.broadcast_to(gain_ref[0, 0:1, :], (n_g1, 128))
+
+    # Mosaic exposes only DEFAULT/HIGHEST dot precisions; HIGH (XLA's
+    # 3-pass bf16 split, the analysis default — see dft.analysis_precision)
+    # is implemented manually: A@B ~= Ah@Bh + Ah@Bl + Al@Bh with
+    # X = Xh + Xl, Xh = bf16(X). The E split happens ONCE per program
+    # (constant across the chunk loop).
+    if prec == "high":
+        E_f = E_ref[...]
+        E_h = E_f.astype(jnp.bfloat16)
+        E_l = (E_f - E_h.astype(dt)).astype(jnp.bfloat16)
+
+        def dft_dot(FW, t):
+            sl = slice(t * 128, (t + 1) * 128)
+            fh = FW.astype(jnp.bfloat16)
+            fl = (FW - fh.astype(dt)).astype(jnp.bfloat16)
+            d = lambda a, m: jnp.dot(a, m, preferred_element_type=dt)
+            return d(fh, E_h[sl]) + d(fh, E_l[sl]) + d(fl, E_h[sl])
+
+    else:
+        hw_prec = (
+            jax.lax.Precision.HIGHEST
+            if prec == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
+
+        def dft_dot(FW, t):
+            return jnp.dot(
+                FW,
+                E_ref[t * 128 : (t + 1) * 128, :],
+                preferred_element_type=dt,
+                precision=hw_prec,
+            )
+
+    def chunk_dma(c, slot):
+        # Chunk origins 8-aligned (HBM (.,128) views need 8-row slices);
+        # the residual rows land in d below.
+        org = (c * ng * gr) // 8 * 8
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(b * l_rows + org, chunk_rows), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(NC > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    for c in range(NC):
+        slot = c % 2
+        if c + 1 < NC:
+            chunk_dma(c + 1, (c + 1) % 2).start()
+        chunk_dma(c, slot).wait()
+        d = c * ng * gr - (c * ng * gr) // 8 * 8  # 0..7 residual rows
+
+        def row_view(r):
+            # Rows d + r + g*gr for g in 0..n_g1-1, as a strided slice.
+            q, rr = divmod(r, gr)
+            v = scratch[slot, d + q * gr : d + q * gr + n_g1 * gr, :]
+            return v.reshape(n_g1, gr, 128)[:, rr, :]
+
+        fw_t = [[] for _ in range(nt)]
+        w_prev_last = None
+        for p in range(gf):
+            lam = (p * step) % 128
+            tiles = []
+            for t in range(nt):
+                r = (p * step + t * 128) // 128
+                if lam == 0:
+                    tiles.append(row_view(r))
+                else:
+                    cur = pltpu.roll(row_view(r), 128 - lam, 1)
+                    nxt = pltpu.roll(row_view(r + 1), 128 - lam, 1)
+                    tiles.append(jnp.where(lane < 128 - lam, cur, nxt))
+            sl = W - step - 1  # state = prev frame's last raw sample
+            st = tiles[sl // 128][:, sl % 128 : sl % 128 + 1]
+            if c == 0 and p == 0:
+                # Global frame 0 has zero preemphasis state. Slab row 1
+                # is frame 0 (row 0 is the leading group's frame -gf).
+                ri = jax.lax.broadcasted_iota(jnp.int32, (n_g1, 1), 0)
+                st = jnp.where(ri == 1, jnp.zeros((), dt), st)
+            coef = jnp.asarray(0.97, dt)
+            for t in range(nt):
+                sh = pltpu.roll(tiles[t], 1, 1)
+                carry = (
+                    jnp.broadcast_to(st, (n_g1, 128))
+                    if t == 0
+                    else jnp.broadcast_to(
+                        tiles[t - 1][:, 127:128], (n_g1, 128)
+                    )
+                )
+                pre = tiles[t] - coef * jnp.where(lane == 0, carry, sh)
+                ham = jnp.broadcast_to(
+                    ham_ref[0:1, t * 128 : (t + 1) * 128], (n_g1, 128)
+                )
+                fw_t[t].append(pre * ham * grow)
+        reim = None
+        for t in range(nt):
+            FW = jnp.concatenate(fw_t[t], axis=0)  # [R, 128], p-major
+            prod = dft_dot(FW, t)
+            reim = prod if reim is None else reim + prod
+        re, im = reim[:, :hb], reim[:, hb:]
+        mag2 = re * re + im * im  # [R, hb]
+        em = jnp.broadcast_to(em_ref[0:1, :], (R, hb))
+        energy = jnp.sum(mag2 * em, axis=1, keepdims=True)  # [R, 1]
+        mag = jnp.sqrt(mag2)
+        th = jnp.max(mag * em, axis=1, keepdims=True) * 0.01
+        nrm = mag * (1.0 / (jnp.sqrt(energy) + eps))
+        e_cols, l_cols = [], []
+        for p in range(gf):
+            s = slice(p * n_g1, (p + 1) * n_g1)
+            if p == 0:
+                sl_ = slice((gf - 1) * n_g1, gf * n_g1)
+                # Frame t-1 of phase 0 is phase gf-1, group g-1: shift
+                # rows down by one (slab row 0 wraps junk; it is the
+                # never-emitted leading row).
+                m_l = pltpu.roll(mag[sl_], 1, 0)
+                n_l = pltpu.roll(nrm[sl_], 1, 0)
+            else:
+                sl_ = slice((p - 1) * n_g1, p * n_g1)
+                m_l, n_l = mag[sl_], nrm[sl_]
+            m_c, n_c, t_c = mag[s], nrm[s], th[s]
+            msk = (m_c > t_c) & (m_l > t_c) & (em[s] > 0)
+            lr = jnp.abs(jnp.log((n_c + eps) / (n_l + eps)))
+            l_cols.append(
+                jnp.sum(jnp.where(msk, lr, jnp.zeros((), dt)), axis=1,
+                        keepdims=True)
+            )
+            e_cols.append(energy[s])
+        ecl = jnp.concatenate(e_cols + l_cols, axis=1)  # [n_g1, 2*gf]
+        rows = jnp.swapaxes(ecl, 0, 1)  # [2*gf, n_g1]
+        out_ref[0, c * 16 : c * 16 + 2 * gf, :] = rows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_frames", "window", "step", "precision",
+                     "interpret"),
+)
+def analysis_energy_lsd_pallas(
+    x: jnp.ndarray,
+    num_frames: int,
+    window: int,
+    step: int,
+    gain: Optional[jnp.ndarray] = None,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+):
+    """Fused analysis front-end: x[B, L] -> (energy[B, T], lsd[B, T]).
+
+    Replaces the XLA chain frames -> preemphasis -> Hamming -> DFT ->
+    magnitude -> energy / masked log-ratio (parallel/batch.py:80-160,
+    mirroring speedy.c:416-525,649-739) with ONE pass over x: the
+    [B, T, W] frame/spectrogram tensors (~1 GB/step of HBM traffic at
+    production shapes) never exist — x crosses HBM once and only the
+    two [B, T] per-frame vectors come back. Everything downstream of
+    {energy, lsd} (LPF scans, hysteresis, skip gating, tension) is
+    [B, T]-sized and stays in XLA.
+
+    lsd[:, 0] is computed against the reference's zero frame -1 but its
+    value is DON'T-CARE: the skip gate (speedy.c:685-703, `skipped =
+    low_energy | t == 0`) zeroes it in every consumer.
+
+    Geometry: integer-step frames only; supported when
+    _analysis_geometry(window, step) is not None (16/24 kHz-class
+    configs; 22.05 kHz's 32-phase pattern stays on the XLA path)."""
+    geo = _analysis_geometry(window, step)
+    assert geo is not None, (window, step)
+    gf, gr, nt, hb = geo
+    if not isinstance(precision, str):
+        precision = {
+            jax.lax.Precision.DEFAULT: "default",
+            jax.lax.Precision.HIGH: "high",
+            jax.lax.Precision.HIGHEST: "highest",
+        }[precision]
+    W = window
+    B, L = x.shape
+    dt = x.dtype
+    n_g1 = 128
+    ng = n_g1 - 1
+    F = gf * ng  # frames per chunk
+    NC = max(1, -(-num_frames // F))
+    # Chunk c covers groups [c*ng - 1, c*ng + ng): rows c*ng*gr (8-aligned
+    # down, residual re-added in-kernel) .. + chunk_rows.
+    chunk_rows = (-(-((n_g1 * gf - 1) * step + W) // 128) + 2 + 7) // 8 * 8
+    l_rows = -(-((NC - 1) * ng * gr + chunk_rows) // 8) * 8
+    # Front pad of gr zero rows = the zero "frame -1" ring slot; tail pad
+    # covers the last chunk's window overhang.
+    pad_tail = l_rows * 128 - gr * 128 - L
+    assert pad_tail >= 0
+    x2 = jnp.pad(x, ((0, 0), (gr * 128, pad_tail))).reshape(-1, 128)
+    E, ham, emask = _analysis_matrices(W, hb, nt, str(np.dtype(dt)))
+    g_arr = (
+        jnp.ones((B, 8, 128), dt)
+        if gain is None
+        else jnp.broadcast_to(gain.astype(dt)[:, None, None], (B, 8, 128))
+    )
+    kernel = functools.partial(
+        _analysis_kernel, NC, n_g1, gf, gr, nt, hb, W, step, chunk_rows,
+        l_rows, precision,
+    )
+    c0 = lambda b: (0, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(E.shape, c0),
+            pl.BlockSpec(ham.shape, c0),
+            pl.BlockSpec(emask.shape, c0),
+            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, NC * 16, n_g1), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, NC * 16, n_g1), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk_rows, 128), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )(x2, jnp.asarray(E), jnp.asarray(ham), jnp.asarray(emask), g_arr)
+    # Unpack [B, NC, 16, n_g1]: frame (c*ng + g - 1)*gf + p lives at
+    # [b, c, p, g] (energy) / [b, c, gf + p, g] (lsd), g in 1..ng.
+    o = out.reshape(B, NC, 16, n_g1)
+    T = num_frames
+
+    def unpack(rows):
+        v = o[:, :, rows : rows + gf, 1:]  # [B, NC, gf, ng]
+        v = jnp.swapaxes(v, 2, 3).reshape(B, NC * F)
+        return v[:, :T]
+
+    return unpack(0), unpack(gf)

@@ -20,6 +20,7 @@ speeds with the shim's flush-at-last-speed tail semantics. One jit per
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, NamedTuple, Optional, Sequence
 
 import jax
@@ -76,41 +77,97 @@ def batched_analysis(
         # (the shim drains such audio at the requested speed on flush).
         return jnp.zeros((B, 0), dtype)
 
+    # Batches not divisible by dp are zero-padded up front (sharding
+    # constraints and the shard_map'd kernel both need dp | B) and the
+    # padded rows trimmed on return — mirrors _run_grid_engine.
+    B0 = B
+    if mesh is not None:
+        pad = (-B) % mesh.shape["dp"]
+        if pad:
+            xs = jnp.concatenate([xs, jnp.zeros((pad, L), dtype)])
+            if gain is not None:
+                gain = jnp.concatenate(
+                    [gain, jnp.ones((pad,), gain.dtype)]
+                )
+            B = B + pad
+
     xs = c(xs, P("dp", None))
-    starts = jnp.asarray(framing.frame_starts(cfg, T, integer_step=True))
     step = cfg.frame_step_int
-    # Integer-step frames are a REGULAR overlapping window: build them from
-    # strided reshapes (an element gather here costs ~25 ms at B=128; the
-    # reshape form is bandwidth-speed).
-    m = -(-W // step)  # window spans m cells
-    n_cells = T + m  # enough cells to cover frame T-1
-    xs_pad = jnp.concatenate(
-        [xs, jnp.zeros((B, n_cells * step - xs.shape[1]), dtype)], axis=1
-    ) if n_cells * step > xs.shape[1] else xs[:, : n_cells * step]
-    y = xs_pad.reshape(B, n_cells, step)
-    frames = jnp.concatenate(
-        [y[:, j : j + T] for j in range(m)], axis=-1
-    )[:, :, :W]  # [B, T, W]
-    prev_last = jnp.take(xs, starts[:-1] + (W - 1), axis=1, mode="clip")
-    state = jnp.concatenate([jnp.zeros((B, 1), dtype), prev_last], axis=1)
-    prev = jnp.concatenate([state[:, :, None], frames[:, :, :-1]], axis=2)
-    pre = frames - jnp.asarray(C.PREEMPHASIS_COEF, dtype) * prev
-    pre = c(pre, P("dp", "tp", None))  # sequence-parallel over frames
+    # Production front-end on TPU: the fused analysis kernel
+    # (pallas_kernels.analysis_energy_lsd_pallas) reads xs across HBM
+    # exactly once and returns only the per-frame {energy, lsd} vectors —
+    # the [B, T, W] frame/spectrogram intermediates (~1 GB/step at
+    # production shapes) never exist. XLA's GSPMD partitioner cannot
+    # split a Mosaic custom call, so under a mesh the kernel runs inside
+    # shard_map over 'dp' (batch-independent), exactly like the WSOLA
+    # kernels in _run_grid_engine. The XLA formulation below remains the
+    # off-TPU/reference path; SPEEDY_FORCE_ANALYSIS_KERNEL=interpret
+    # routes the kernel through interpret mode for hermetic coverage.
+    from ..ops import pallas_kernels as _pk
 
-    win = jnp.asarray(dft.hamming_window(W, np.dtype(dtype).name))
-    cos_m, sin_m = dft.dft_matrices(W, np.dtype(dtype).name)
-    fw = pre * win[None, None, :]
-    if gain is not None:
-        fw = fw * gain.astype(dtype)[:, None, None]
-    prec = dft.analysis_precision()
-    re = jnp.dot(fw, jnp.asarray(cos_m), precision=prec)
-    im = jnp.dot(fw, jnp.asarray(sin_m), precision=prec)
-    spec = jnp.sqrt(re * re + im * im)  # [B, T, W+1]
-    spec = c(spec, P("dp", None, "tp"))  # tensor-parallel over DFT bins
+    force_k = os.environ.get("SPEEDY_FORCE_ANALYSIS_KERNEL", "")
+    on_tpu = jax.default_backend() == "tpu"
+    geo_ok = _pk._analysis_geometry(W, step) is not None
+    if (on_tpu or force_k == "interpret") and geo_ok:
+        prec = dft.analysis_precision()
 
-    half = spec[:, :, :W]
-    energy = jnp.sum(half[:, :, 1:] ** 2, axis=-1)  # psums over 'tp'
-    energy = c(energy, P("dp", None))
+        def kern(x_s, g_s):
+            return _pk.analysis_energy_lsd_pallas(
+                x_s, T, W, step, gain=g_s, precision=prec,
+                interpret=not on_tpu,
+            )
+
+        if mesh is None:
+            energy, lsd_full = kern(xs, gain)
+        else:
+            # B is dp-divisible (padded above).
+            in_specs = [P("dp", None)] + ([P("dp")] if gain is not None else [])
+            args = [xs] + ([gain] if gain is not None else [])
+            energy, lsd_full = jax.shard_map(
+                (lambda x_s, g_s=None: kern(x_s, g_s)),
+                mesh=mesh,
+                in_specs=tuple(in_specs),
+                out_specs=(P("dp", None), P("dp", None)),
+                check_vma=False,  # Pallas calls opaque to the vma checker
+            )(*args)
+        energy = c(energy, P("dp", None))
+        sig_energy = energy[:, :T_out]
+        lsd_t = lsd_full[:, :T_out]
+        half = None
+    else:
+        starts = jnp.asarray(framing.frame_starts(cfg, T, integer_step=True))
+        # Integer-step frames are a REGULAR overlapping window: build them
+        # from strided reshapes (an element gather here costs ~25 ms at
+        # B=128; the reshape form is bandwidth-speed).
+        m = -(-W // step)  # window spans m cells
+        n_cells = T + m  # enough cells to cover frame T-1
+        xs_pad = jnp.concatenate(
+            [xs, jnp.zeros((B, n_cells * step - xs.shape[1]), dtype)], axis=1
+        ) if n_cells * step > xs.shape[1] else xs[:, : n_cells * step]
+        y = xs_pad.reshape(B, n_cells, step)
+        frames = jnp.concatenate(
+            [y[:, j : j + T] for j in range(m)], axis=-1
+        )[:, :, :W]  # [B, T, W]
+        prev_last = jnp.take(xs, starts[:-1] + (W - 1), axis=1, mode="clip")
+        state = jnp.concatenate([jnp.zeros((B, 1), dtype), prev_last], axis=1)
+        prev = jnp.concatenate([state[:, :, None], frames[:, :, :-1]], axis=2)
+        pre = frames - jnp.asarray(C.PREEMPHASIS_COEF, dtype) * prev
+        pre = c(pre, P("dp", "tp", None))  # sequence-parallel over frames
+
+        win = jnp.asarray(dft.hamming_window(W, np.dtype(dtype).name))
+        cos_m, sin_m = dft.dft_matrices(W, np.dtype(dtype).name)
+        fw = pre * win[None, None, :]
+        if gain is not None:
+            fw = fw * gain.astype(dtype)[:, None, None]
+        prec = dft.analysis_precision()
+        re = jnp.dot(fw, jnp.asarray(cos_m), precision=prec)
+        im = jnp.dot(fw, jnp.asarray(sin_m), precision=prec)
+        spec = jnp.sqrt(re * re + im * im)  # [B, T, W+1]
+        spec = c(spec, P("dp", None, "tp"))  # tensor-parallel over DFT bins
+
+        half = spec[:, :, :W]
+        energy = jnp.sum(half[:, :, 1:] ** 2, axis=-1)  # psums over 'tp'
+        energy = c(energy, P("dp", None))
     energy_lp = filters.first_order_lowpass(
         energy, cfg.lpf_alpha, C.MEAN_SPECTROGRAM_ENERGY, axis=-1
     )
@@ -142,24 +199,29 @@ def batched_analysis(
         past_max = jnp.maximum(past_max, sl * taper)
     energy_hyst = (past_max + future_max) / 2.0  # [B, T_out]
 
-    cur = half[:, :T_out]
-    last = jnp.concatenate([jnp.zeros((B, 1, W), dtype), half[:, : T_out - 1]], axis=1)
-    eps = jnp.asarray(C.EPS, dtype)
-    sig_energy = jnp.sum(cur[:, :, 1:] ** 2, axis=-1)
-    last_energy = jnp.sum(last[:, :, 1:] ** 2, axis=-1)
-    normalized = cur / (jnp.sqrt(sig_energy)[..., None] + eps)
-    normalized_last = last / (jnp.sqrt(last_energy)[..., None] + eps)
+    if half is not None:
+        cur = half[:, :T_out]
+        last = jnp.concatenate(
+            [jnp.zeros((B, 1, W), dtype), half[:, : T_out - 1]], axis=1
+        )
+        eps = jnp.asarray(C.EPS, dtype)
+        sig_energy = jnp.sum(cur[:, :, 1:] ** 2, axis=-1)
+        last_energy = jnp.sum(last[:, :, 1:] ** 2, axis=-1)
+        normalized = cur / (jnp.sqrt(sig_energy)[..., None] + eps)
+        normalized_last = last / (jnp.sqrt(last_energy)[..., None] + eps)
+        bin_thresh = jnp.max(cur[:, :, 1:], axis=-1, keepdims=True) / 100.0
+        mask = (cur[:, :, 1:] > bin_thresh) & (last[:, :, 1:] > bin_thresh)
+        log_ratio = jnp.abs(
+            jnp.log(
+                (normalized[:, :, 1:] + eps) / (normalized_last[:, :, 1:] + eps)
+            )
+        )
+        lsd_t = jnp.sum(jnp.where(mask, log_ratio, 0.0), axis=-1)
 
     skipped = (sig_energy <= cfg.low_energy_threshold) | (
         jnp.arange(T_out)[None, :] == 0
     )
-    bin_thresh = jnp.max(cur[:, :, 1:], axis=-1, keepdims=True) / 100.0
-    mask = (cur[:, :, 1:] > bin_thresh) & (last[:, :, 1:] > bin_thresh)
-    log_ratio = jnp.abs(
-        jnp.log((normalized[:, :, 1:] + eps) / (normalized_last[:, :, 1:] + eps))
-    )
-    lsd = jnp.sum(jnp.where(mask, log_ratio, 0.0), axis=-1)
-    lsd = jnp.where(skipped, 0.0, lsd)
+    lsd = jnp.where(skipped, 0.0, lsd_t)
     ewld = lsd * energy_hyst
     ew_lpf = filters.first_order_lowpass(
         jnp.where(skipped, 0.0, ewld),
@@ -172,7 +234,8 @@ def batched_analysis(
     tension = C.TENSION_A * (energy_hyst - C.TENSION_M_E) + C.TENSION_B * (
         changes - C.TENSION_M_S
     )
-    return c(tension, P("dp", None))
+    tension = c(tension, P("dp", None))
+    return tension[:B0] if B0 != B else tension
 
 
 def _plan_max_speed(global_speed: float, nonlinear_factor: float) -> float:

@@ -397,3 +397,117 @@ def test_pitch_ssd_kernel_interpret_matches_xla():
     got = np.asarray(pk.pitch_ssd_pallas(xj, taps, minp, maxp, interpret=True))
     d = np.abs(ref - got)
     assert np.mean(d > 0.1) < 0.005, d.max()
+
+
+def _analysis_xla_chain(xs, W, step, T, gain=None):
+    """Inline replica of the XLA analysis front-end (parallel/batch.py)
+    producing (energy[B,T], lsd[B,T]) for the kernel gate."""
+    B, L = xs.shape
+    dtype = xs.dtype
+    m = -(-W // step)
+    n_cells = T + m
+    xs_pad = jnp.concatenate(
+        [xs, jnp.zeros((B, n_cells * step - L), dtype)], axis=1
+    )
+    y = xs_pad.reshape(B, n_cells, step)
+    frames = jnp.concatenate(
+        [y[:, j : j + T] for j in range(m)], axis=-1
+    )[:, :, :W]
+    starts = np.arange(T, dtype=np.int64) * step
+    prev_last = jnp.take(
+        xs, jnp.asarray(starts[:-1] + (W - 1)), axis=1, mode="clip"
+    )
+    state = jnp.concatenate([jnp.zeros((B, 1), dtype), prev_last], axis=1)
+    prev = jnp.concatenate([state[:, :, None], frames[:, :, :-1]], axis=2)
+    pre = frames - 0.97 * prev
+    from speedy_tpu.ops import dft
+
+    win = jnp.asarray(dft.hamming_window(W))
+    cos_m, sin_m = dft.dft_matrices(W)
+    fw = pre * win[None, None, :]
+    if gain is not None:
+        fw = fw * gain[:, None, None]
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(fw, jnp.asarray(cos_m), precision=hi)
+    im = jnp.dot(fw, jnp.asarray(sin_m), precision=hi)
+    half = jnp.sqrt(re * re + im * im)[:, :, :W]
+    energy = jnp.sum(half[:, :, 1:] ** 2, axis=-1)
+    cur = half
+    last = jnp.concatenate(
+        [jnp.zeros((B, 1, W), half.dtype), half[:, :-1]], axis=1
+    )
+    eps = jnp.asarray(2.220446049250313e-16, dtype)
+    e_l = jnp.sum(last[:, :, 1:] ** 2, axis=-1)
+    nc = cur / (jnp.sqrt(energy)[..., None] + eps)
+    nl = last / (jnp.sqrt(e_l)[..., None] + eps)
+    th = jnp.max(cur[:, :, 1:], axis=-1, keepdims=True) / 100.0
+    mask = (cur[:, :, 1:] > th) & (last[:, :, 1:] > th)
+    lr = jnp.abs(jnp.log((nc[:, :, 1:] + eps) / (nl[:, :, 1:] + eps)))
+    return energy, jnp.sum(jnp.where(mask, lr, 0.0), axis=-1)
+
+
+def _analysis_test_batch(L=32000):
+    rng = np.random.default_rng(7)
+    t = np.arange(L) / 16000.0
+    voiced = (
+        np.sin(2 * np.pi * 180 * t) * np.clip(np.sin(2 * np.pi * 2.3 * t), 0, None)
+    ).astype(np.float32) * 0.4
+    noise = rng.standard_normal(L).astype(np.float32) * 0.05
+    bursty = np.zeros(L, np.float32)
+    bursty[4000:12000] = voiced[:8000]
+    return np.stack([voiced, noise, bursty])
+
+
+def test_analysis_kernel_matches_xla():
+    """Fused analysis front-end == the XLA chain (matched f32/'highest'
+    precision, interpret mode): the wiring gate for window extraction,
+    preemphasis state (incl. the frame-0 zero state), Hamming, tile-split
+    DFT, and the masked log-ratio — on voiced/noise/bursty signals with
+    per-utterance gain."""
+    xs = _analysis_test_batch()
+    L = xs.shape[1]
+    W, step = 240, 160
+    T = (L - W) // step + 1
+    g = jnp.asarray([1.0, 0.7, 1.4], jnp.float32)
+    e_ref, l_ref = _analysis_xla_chain(jnp.asarray(xs), W, step, T, g)
+    e_k, l_k = pk.analysis_energy_lsd_pallas(
+        jnp.asarray(xs), T, W, step, gain=g, precision="highest",
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_k), np.asarray(e_ref), rtol=2e-6, atol=1e-6
+    )
+    # lsd[:, 0] is DON'T-CARE (zeroed by the skip gate downstream).
+    scale = float(np.abs(np.asarray(l_ref)).max())
+    np.testing.assert_allclose(
+        np.asarray(l_k)[:, 1:], np.asarray(l_ref)[:, 1:],
+        atol=2e-4 * max(scale, 1.0),
+    )
+
+
+def test_analysis_kernel_in_pipeline(monkeypatch):
+    """SPEEDY_FORCE_ANALYSIS_KERNEL=interpret routes the production
+    batched tension path through the fused kernel; at matched 'highest'
+    precision it must agree with the XLA path to float32 noise, and the
+    'high' bf16-split mode (the TPU production precision) must stay
+    within its documented tension envelope."""
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.parallel.batch import batched_analysis
+
+    cfg = SpeedyConfig(16000)
+    xs = jnp.asarray(_analysis_test_batch())
+    T = cfg.num_frames(xs.shape[1], integer_step=True)
+    g = jnp.asarray([1.0, 0.7, 1.4], jnp.float32)
+
+    monkeypatch.setenv("SPEEDY_ANALYSIS_PRECISION", "highest")
+    monkeypatch.setenv("SPEEDY_FORCE_ANALYSIS_KERNEL", "interpret")
+    t_k = np.asarray(batched_analysis(xs, cfg, T, gain=g))
+    monkeypatch.setenv("SPEEDY_FORCE_ANALYSIS_KERNEL", "")
+    t_x = np.asarray(batched_analysis(xs, cfg, T, gain=g))
+    np.testing.assert_allclose(t_k, t_x, atol=2e-5)
+
+    monkeypatch.setenv("SPEEDY_ANALYSIS_PRECISION", "high")
+    monkeypatch.setenv("SPEEDY_FORCE_ANALYSIS_KERNEL", "interpret")
+    t_h = np.asarray(batched_analysis(xs, cfg, T, gain=g))
+    np.testing.assert_allclose(t_h, t_x, atol=2e-2)
+    assert np.abs(t_h - t_x).mean() < 1e-3

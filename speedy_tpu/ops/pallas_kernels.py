@@ -434,14 +434,23 @@ def _gather_synth_kernel(
                 off = pl.multiple_of(rowoff_ref[b, nb * SB + sb], 8)
                 spw = scratch[slot, pl.ds(off, w_sub_rows), :]
                 q8c = q8k_ref[0, nb, sb * CH : (sb + 1) * CH, :]
-                onehot = (iota_sub == q8c).astype(dt)
+                # Exact selection in THREE bf16 passes instead of f32
+                # HIGHEST's six: the one-hot is 0/1 (bf16-exact) and the
+                # f32 values split losslessly into three rounded bf16
+                # terms (24 = 3x8 significand bits; verified exhaustively
+                # — each pass selects one term exactly, and the f32 sum
+                # of the disjoint-range terms reconstructs the value
+                # bit-for-bit).
+                onehot = (iota_sub == q8c).astype(jnp.bfloat16)
+                v_h = spw.astype(jnp.bfloat16)
+                r_1 = spw - v_h.astype(dt)
+                v_l = r_1.astype(jnp.bfloat16)
+                v_ll = (r_1 - v_l.astype(dt)).astype(jnp.bfloat16)
+                sel = lambda m: jnp.dot(
+                    onehot, m, preferred_element_type=dt
+                )
                 chunks.append(
-                    jnp.dot(
-                        onehot,
-                        spw,
-                        preferred_element_type=dt,
-                        precision=jax.lax.Precision.HIGHEST,  # exact
-                    )
+                    sel(v_h) + sel(v_l) + sel(v_ll)
                 )  # [CH, 128], rows (t, r) within sub-block sb
             # Reassemble the global t-major slab: row t*R + sb*SR + r.
             slab = jnp.concatenate(

@@ -417,8 +417,38 @@ def _gather_synth_kernel(
         @pl.when(nb < nvb)
         def _():
             span_dma(nb, slot, "wait")
-            r7k = r7k_ref[0, nb, :, :]  # [TOT, 1] 0..127 lane residuals
-            af = af_ref[0, nb, :, :]  # [TOT, 1] fractional delays
+            # Per-row controls arrive LANE-DENSE [TOTp//128, 128] and are
+            # rebuilt into the [TOT, 1] columns the select/shift math
+            # wants, in-register: a [*, 1] VMEM input block would pad its
+            # lane dim x128, and the padded HBM->VMEM writes cost ~1.5
+            # ms/step at production shapes (experiments/
+            # lane1_blockspec_probe.py: three [4096, 1] blocks 2.53
+            # ms/step vs 1.06 lane-dense).
+            sub_t = jax.lax.broadcasted_iota(jnp.int32, (TOT, 128), 0)
+            lane_t = lane  # (TOT, 128) lane iota, built above
+
+            def col(vd):
+                # c[i, 0] = vd[i // 128, i % 128] without transposes or
+                # sublane concats (Mosaic rejects both at these shapes):
+                # broadcast each dense row over its 128-row segment, then
+                # a lane-one-hot masked reduce — pure VPU, exact f32.
+                q = vd.shape[0]
+                P = jnp.broadcast_to(vd[q - 1 : q, :], (TOT, 128))
+                for r in range(q - 2, -1, -1):
+                    P = jnp.where(
+                        sub_t < (r + 1) * 128,
+                        jnp.broadcast_to(vd[r : r + 1, :], (TOT, 128)),
+                        P,
+                    )
+                return jnp.sum(
+                    jnp.where(lane_t == (sub_t & 127), P, 0.0),
+                    axis=1,
+                    keepdims=True,
+                )
+
+            r7k = col(r7k_ref[0, nb]).astype(jnp.int32)  # [TOT, 1]
+            af = col(af_ref[0, nb])  # [TOT, 1] fractional delays
+            q8col = col(q8k_ref[0, nb]).astype(jnp.int32)
             # Hierarchical tile select: per SR-row sub-block, narrow the
             # span to w_sub_rows via a dynamic 8-aligned slice, then a
             # small exact one-hot matmul. q8k_ref rows are ordered
@@ -433,7 +463,7 @@ def _gather_synth_kernel(
             for sb in range(SB):
                 off = pl.multiple_of(rowoff_ref[b, nb * SB + sb], 8)
                 spw = scratch[slot, pl.ds(off, w_sub_rows), :]
-                q8c = q8k_ref[0, nb, sb * CH : (sb + 1) * CH, :]
+                q8c = q8col[sb * CH : (sb + 1) * CH]
                 # Exact selection in THREE bf16 passes instead of f32
                 # HIGHEST's six: the one-hot is 0/1 (bf16-exact) and the
                 # f32 values split losslessly into three rounded bf16
@@ -665,16 +695,29 @@ def gather_synth_block_pallas(
     nrows = jnp.minimum(
         jnp.max(rowoff, axis=2) + w_sub_rows, w_rows
     ).astype(jnp.int32)  # [B, NB]
-    q8k = (
-        q8rel[:, :, :, None, :] + ktile[None, None, None, :, None]
-    ).reshape(B, NB, nt * R, 1)
+    # Per-row controls packed LANE-DENSE [B, NB, TOTp/128, 128] (f32
+    # transport — the int values are < 2^24 so the cast is exact); the
+    # kernel rebuilds the [TOT, 1] columns in-register. A [.., TOT, 1]
+    # VMEM block pads its lane dim x128, and those padded HBM->VMEM
+    # writes alone cost ~1.5 ms/step at production shapes
+    # (experiments/lane1_blockspec_probe.py).
+    TOT = nt * R
+    TOTp = -(-TOT // 128) * 128
+
+    def _pack(v):
+        v = v.astype(x.dtype).reshape(B, NB, TOT)
+        if TOTp != TOT:
+            v = jnp.concatenate(
+                [v, jnp.zeros((B, NB, TOTp - TOT), x.dtype)], axis=-1
+            )
+        return v.reshape(B, NB, TOTp // 128, 128)
+
+    q8k = _pack(q8rel[:, :, :, None, :] + ktile[None, None, None, :, None])
     # T-major: row t*R + r of the slab is tile t of output row r.
-    r7k = jnp.broadcast_to(r7[:, :, None, :], (B, NB, nt, R)).reshape(
-        B, NB, nt * R, 1
+    r7k = _pack(jnp.broadcast_to(r7[:, :, None, :], (B, NB, nt, R)))
+    af_tm = _pack(
+        jnp.broadcast_to(af.reshape(B, NB, R)[:, :, None, :], (B, NB, nt, R))
     )
-    af_tm = jnp.broadcast_to(
-        af.reshape(B, NB, R)[:, :, None, :], (B, NB, nt, R)
-    ).reshape(B, NB, nt * R, 1)
     nvb = (
         jnp.full((B,), NB, jnp.int32)
         if n_valid is None
@@ -734,15 +777,15 @@ def gather_synth_block_pallas(
         grid=(B,),
         in_specs=[
             pl.BlockSpec(
-                (1, NB, R * nt, 1), lambda b, *_: (b, 0, 0, 0),
+                (1, NB, TOTp // 128, 128), lambda b, *_: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, NB, R * nt, 1), lambda b, *_: (b, 0, 0, 0),
+                (1, NB, TOTp // 128, 128), lambda b, *_: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, NB, R * nt, 1), lambda b, *_: (b, 0, 0, 0),
+                (1, NB, TOTp // 128, 128), lambda b, *_: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(

@@ -51,9 +51,11 @@ def main():
     cfg = SpeedyConfig(sample_rate)
     L = int(sample_rate * seconds)
     n_dev = jax.device_count()
-    # B=96 is the measured throughput knee on v5e (sweep: 64 -> 78.7k,
-    # 80 -> 77.4k, 96 -> 81.0k, 128 -> 79.6k, 192 -> 69.6k, 256+ worse).
-    B = int(os.environ.get("SPEEDY_BENCH_BATCH", "96")) * max(n_dev, 1)
+    # B=128 is the knee after the round-2 kernel landings (the round-1
+    # sweep at the 85k level chose 96; with the fused analysis kernel +
+    # lane-dense synth controls + 128-row span blocks: 96 -> 172.4k,
+    # 128 -> 176.3k, 160 -> 160.9k audio-s/s/chip).
+    B = int(os.environ.get("SPEEDY_BENCH_BATCH", "128")) * max(n_dev, 1)
     # 192 iterations per dispatched window: the relay charges a fixed
     # ~30 ms floor PER EXECUTE (independent of program size — measured on
     # noop programs), so per-step cost = floor/iters + device step time;

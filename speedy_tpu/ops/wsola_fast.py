@@ -280,10 +280,12 @@ def _wsola_grid_batch(
     num_chunks: int,
     xs_channels: Optional[jnp.ndarray] = None,
     max_speed_plan: Optional[float] = None,
-    # 64-row span blocks: measured knee (32 -> 81.7k, 64 -> 84.9k,
-    # 128 -> 84.6k, 256 -> 84.2k audio-s/s/chip at the 3.5x bench point);
-    # also halves the worst-case span DMA width vs 128.
-    span_rows: int = 64,
+    # 128-row span blocks: the knee moved after the lane-dense control
+    # packing removed the old per-block fixed cost (round-1 sweep at the
+    # 85k level chose 64; with dense controls: 64 -> 166.2k,
+    # 128 -> 172.4k, and with B=128 -> 176.3k audio-s/s/chip;
+    # experiments/synth_sweep.py has the standalone-block numbers).
+    span_rows: int = 128,
     in_offset: Optional[jnp.ndarray] = None,
     out_shift: Optional[jnp.ndarray] = None,
     phase_ref: Optional[jnp.ndarray] = None,

@@ -289,11 +289,14 @@ def _run_grid_engine(
     Batches not divisible by dp are zero-padded (padded rows have
     length 0 -> valid 0 -> all-zero output) and trimmed on return.
     """
+    # Trace-time experiment knob for the fused-synthesis span-block
+    # height (see wsola_fast._wsola_grid_batch's span_rows docs).
+    span_rows = int(os.environ.get("SPEEDY_SYNTH_SPAN_ROWS", "128"))
     if mesh is None:
         return wsola_fast._wsola_grid_batch(
             xs, lengths, speeds, minp, maxp, step, hop, gcap, K,
             xs_channels=xs_channels, max_speed_plan=max_speed_plan,
-            gain=gain,
+            gain=gain, span_rows=span_rows,
         )
     dp = mesh.shape["dp"]
     B = xs.shape[0]
@@ -337,7 +340,7 @@ def _run_grid_engine(
             x, l, s, minp, maxp, step, hop, gcap, K,
             xs_channels=rest.pop(0) if rest else None,
             max_speed_plan=max_speed_plan,
-            gain=g,
+            gain=g, span_rows=span_rows,
         )
 
     out = jax.shard_map(

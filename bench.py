@@ -61,7 +61,7 @@ def main():
     # noop programs), so per-step cost = floor/iters + device step time;
     # inputs are synthesized on device, so window memory is iters-free
     # (sweep: 40 -> 81.0k, 96 -> 84.3k, 192 -> 85.8k audio-s/s/chip).
-    iters = int(os.environ.get("SPEEDY_BENCH_ITERS", "192"))
+    iters = int(os.environ.get("SPEEDY_BENCH_ITERS", "384"))
     serial = os.environ.get("SPEEDY_BENCH_SERIAL", "0") == "1"
 
     # Heterogeneous workload: FOUR distinct signal families interleaved

@@ -490,7 +490,9 @@ def _wsola_grid_batch(
         from .pallas_kernels import pitch_ssd_pallas
 
         period_grid = pitch_ssd_pallas(
-            y, taps, minp, maxp, gc_cells=64, interpret=not on_tpu_p,
+            y, taps, minp, maxp,
+            gc_cells=int(os.environ.get("SPEEDY_PITCH_GC", "64")),
+            interpret=not on_tpu_p,
             gain=gain,
         )
     else:

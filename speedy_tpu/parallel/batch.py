@@ -70,6 +70,14 @@ def batched_analysis(
     def c(a, spec):
         if mesh is None:
             return a
+        # Constraints are layout hints, not semantics: skip any the mesh
+        # cannot legally apply (a dimension not divisible by its axis
+        # size — e.g. an odd frame count under tp=2), instead of raising
+        # mid-pipeline. GSPMD still propagates layouts from the
+        # constraints that do apply.
+        for d, ax in enumerate(spec):
+            if ax is not None and a.shape[d] % mesh.shape[ax] != 0:
+                return a
         return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
 
     if T_out == 0:

@@ -358,3 +358,20 @@ def test_mesh_analysis_kernel_shard_map(monkeypatch):
         batched_analysis(jnp.asarray(xs), CFG16, T, mesh=mesh, gain=g)
     )
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_mesh_analysis_xla_pads_ragged_batch():
+    """batched_analysis on the XLA (non-kernel) path with a mesh and a
+    non-dp-divisible batch: the up-front zero-pad must make the sharding
+    constraints legal and leave real rows' tension unchanged (this
+    combination raised a divisibility ValueError before the pad)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs >= 8 devices")
+    mesh = make_mesh(dp=4, tp=2)
+    xs = make_batch(B=6)
+    T = CFG16.num_frames(xs.shape[1], integer_step=True)
+    ref = np.asarray(batched_analysis(jnp.asarray(xs), CFG16, T))
+    got = np.asarray(batched_analysis(jnp.asarray(xs), CFG16, T, mesh=mesh))
+    assert got.shape == ref.shape
+    # tp-partitioned DFT-bin reductions reorder float sums (few-ulp).
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)

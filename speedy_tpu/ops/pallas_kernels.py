@@ -1046,39 +1046,41 @@ def gather_rows_block_pallas(
 @functools.lru_cache(maxsize=16)
 def _pitch_kernel_matrices(taps: int, seg_w: int, minp: int, maxp: int,
                            M: int, n_lag_pad: int, dtype: str = "float32"):
-    """Split-complex, zero-padded variants of _pitch_corr_matrices for the
-    Pallas pitch kernel (no lane slicing needed in-kernel):
-      EaR/EaI [taps, nb], EsR/EsI [seg_pad, nb]  (forward real DFT parts;
-        rows seg_w..seg_pad-1 are ZERO so the padded window tail of each
-        grid cell contributes nothing),
-      InvR/InvI [nb, n_lag_pad] (inverse DFT at the lags; cols beyond
-        n_lags zero),
-      BandL [seg_pad, n_lag_pad] (windowed lag energies), Band0
-        [seg_pad, n_lag_pad] (col 0 = template energy, rest zero).
+    """Packed, zero-padded variants of _pitch_corr_matrices for the Pallas
+    pitch kernel — one matrix per MXU matmul:
+      EA [taps, 2nb], ES [seg_pad, 2nb]  (forward real DFT, [cos | -sin];
+        ES rows seg_w..seg_pad-1 are ZERO so the padded window tail of
+        each grid cell contributes nothing),
+      INV [2nb, n_lag_pad] (inverse DFT at the lags; cols beyond n_lags
+        zero),
+      BANDC [seg_pad, n_lag_pad]: cols 0..n_lags-1 = windowed lag
+        energies, col n_lags = template energy. Folding the template
+        column into the lag-energy matmul (n_lag_pad always leaves a
+        spare lane) kills the old dense [seg_pad, n_lag_pad] `Band0`
+        matmul that computed ONE useful column — ~14% of the kernel's
+        MACs — with bitwise-identical output (matmul columns are
+        independent).
     """
     from .wsola_fast import _pitch_corr_matrices
 
     seg_pad = -(-seg_w // 128) * 128
     nb = M // 2 + 1
     n_lags = maxp - minp + 1
+    assert n_lag_pad >= n_lags + 1
     Ea, Es, Inv, Band = _pitch_corr_matrices(taps, seg_w, minp, maxp, M, dtype)
     f = np.dtype(dtype).type
     z = lambda a, rows, cols: np.pad(
         a, ((0, rows - a.shape[0]), (0, cols - a.shape[1]))
     ).astype(f)
-    EaR = z(Ea[:, :nb], taps, nb)
-    EaI = z(Ea[:, nb:], taps, nb)
-    EsR = z(Es[:, :nb], seg_pad, nb)
-    EsI = z(Es[:, nb:], seg_pad, nb)
-    InvR = z(Inv[:nb], nb, n_lag_pad)
-    InvI = z(Inv[nb:], nb, n_lag_pad)
-    BandL = z(Band[:, :n_lags], seg_pad, n_lag_pad)
-    Band0 = z(Band[:, n_lags:], seg_pad, n_lag_pad)
-    return EaR, EaI, EsR, EsI, InvR, InvI, BandL, Band0
+    EA = z(Ea, taps, 2 * nb)
+    ES = z(Es, seg_pad, 2 * nb)
+    INV = z(Inv, 2 * nb, n_lag_pad)
+    BANDC = z(Band, seg_pad, n_lag_pad)  # Band is [seg_w, n_lags + 1]
+    return EA, ES, INV, BANDC
 
 
 def _pitch_ssd_kernel(taps, n_lags, minp, n_lag_pad,
-                      x_ref, eaR, eaI, esR, esI, invR, invI, bandL, band0,
+                      x_ref, ea, es, inv, bandc,
                       gain_ref, out_ref):
     """One program per GC grid cells: windowed SSD over the pitch lag
     range as split-complex DFT matmuls on the MXU with all matrices
@@ -1099,18 +1101,24 @@ def _pitch_ssd_kernel(taps, n_lags, minp, n_lag_pad,
     hi = jax.lax.Precision.HIGHEST
     a0 = slab[:, :taps]
     dot = lambda a, m: jnp.dot(a, m, preferred_element_type=dt, precision=hi)
-    FAr, FAi = dot(a0, eaR[...]), dot(a0, eaI[...])
-    s_in = slab[:, : esR.shape[0]]
-    FSr, FSi = dot(s_in, esR[...]), dot(s_in, esI[...])
-    prodR = FAr * FSr + FAi * FSi
-    prodI = FAr * FSi - FAi * FSr
-    cc = dot(prodR, invR[...]) + dot(prodI, invI[...])
+    nb = ea.shape[1] // 2
+    FA = dot(a0, ea[...])
+    s_in = slab[:, : es.shape[0]]
+    FS = dot(s_in, es[...])
+    FAr, FAi = FA[:, :nb], FA[:, nb:]
+    FSr, FSi = FS[:, :nb], FS[:, nb:]
+    prod = jnp.concatenate(
+        [FAr * FSr + FAi * FSi, FAr * FSi - FAi * FSr], axis=1
+    )
+    cc = dot(prod, inv[...])
     sq = s_in * s_in
-    e_lag = dot(sq, bandL[...])
-    e0 = dot(sq, band0[...])[:, :1]
+    e_all = dot(sq, bandc[...])  # lag energies + template energy (col n_lags)
     lane = jax.lax.broadcasted_iota(jnp.int32, cc.shape, 1)
+    e0 = jnp.sum(
+        jnp.where(lane == n_lags, e_all, 0.0), axis=1, keepdims=True
+    )
     big = jnp.asarray(3e38, dt)
-    ssd = jnp.where(lane < n_lags, e_lag + e0 - 2.0 * cc, big)
+    ssd = jnp.where(lane < n_lags, e_all + e0 - 2.0 * cc, big)
     jmin = jnp.argmin(ssd, axis=1)
     jc = jnp.clip(jmin, 1, n_lags - 2)[:, None]  # [GC, 1]
     pick = lambda off: jnp.sum(
@@ -1146,7 +1154,9 @@ def pitch_ssd_pallas(
 
     M = _pitch_dft_size(max(seg_w, taps + maxp))
     n_lags = maxp - minp + 1
-    n_lag_pad = -(-n_lags // 128) * 128
+    # +1: the template-energy column rides in lane n_lags of the packed
+    # BANDC matrix (see _pitch_kernel_matrices).
+    n_lag_pad = -(-(n_lags + 1) // 128) * 128
     GC = gc_cells  # grid cells per program (static; 128 and 256 measured equal)
     NC = -(-nc // GC)
     if NC * GC != nc:

@@ -177,3 +177,44 @@ def test_streaming_device_pipeline_on_tpu():
     n = min(len(y), v)
     d = np.abs(y[:n] - np.asarray(ref.output[0, :n]))
     assert d.max() < 5e-3 and d.mean() < 1e-4, (d.max(), d.mean())
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_pitch_ssd_kernel_on_tpu():
+    """The production pitch kernel's Mosaic lowering (packed split-complex
+    DFT matmuls, template-energy column folded into the lag-energy matmul,
+    in-VMEM gain) must match interpret mode on hardware. Periods are
+    sub-sample (parabolic refinement), so allow tiny refinement noise but
+    require the integer lag decisions to agree everywhere."""
+    from speedy_tpu.ops.pallas_kernels import pitch_ssd_pallas
+
+    rng = np.random.default_rng(11)
+    B, nc, G = 4, 64, 512
+    taps, minp, maxp = 246, 40, 246
+    t = np.arange(nc * G) / 16000.0
+    voiced = np.sin(2 * np.pi * 130.0 * t) + 0.4 * np.sin(2 * np.pi * 260.0 * t)
+    x = np.stack(
+        [
+            voiced,
+            np.sin(2 * np.pi * (90 + 150 * np.linspace(0, 1, t.size)) * t),
+            rng.standard_normal(t.size) * 0.1,
+            voiced * np.clip(np.sin(2 * np.pi * 2.0 * t), 0, None),
+        ]
+    ).astype(np.float32)
+    xg = jnp.asarray(x.reshape(B, nc, G))
+    gain = jnp.asarray(np.linspace(0.5, 1.5, B).astype(np.float32))
+    hw = np.asarray(pitch_ssd_pallas(xg, taps, minp, maxp, gain=gain))
+    it = np.asarray(
+        pitch_ssd_pallas(xg, taps, minp, maxp, gain=gain, interpret=True)
+    )
+    # Cells whose TEMPLATE (first `taps` samples) is near-silent have a
+    # contrast-free SSD — argmin TIES that MXU vs host rounding resolves
+    # differently, absorbed downstream by phase snapping (see CLAUDE.md
+    # pitch-kernel ledger entry). Require agreement only where the
+    # template carries signal (strongly-voiced decisions).
+    tmpl_rms = np.sqrt((np.asarray(xg)[:, :, :taps] ** 2).mean(axis=2))
+    voiced = tmpl_rms > 1e-2
+    assert voiced.mean() > 0.5  # the gate must not trivialize the test
+    d = np.abs(hw - it)[voiced]
+    assert (d > 0.5).mean() == 0.0, (d.max(), (d > 0.5).mean())
+    np.testing.assert_allclose(hw[voiced], it[voiced], rtol=0, atol=5e-2)

@@ -107,13 +107,25 @@ def main():
 
         mesh = make_mesh(tp=1)
 
+    # Rate-derived output capacity (the production serving config): the
+    # worst-case speed-1.0 plan leaves ~5/8 of the output buffer dead at
+    # 3.5x, and every K-proportional stage pays for it — measured +25%
+    # (experiments/capacity_probe.py). Factor 1.5 holds with >20% margin
+    # over the heterogeneous batch's real output lengths (max valid
+    # 56371 vs cap 68960); truncation would be loud (valid_length == cap
+    # and the checksum-distinctness assert below would trip on clamped
+    # outputs long before the length gates would).
+    # SPEEDY_BENCH_CAP_FACTOR=0 restores the worst-case plan for A/B.
+    cap_factor = float(os.environ.get("SPEEDY_BENCH_CAP_FACTOR", "1.5")) or None
+
     def fn(xs, lengths, gain=None):
         # Checksum = sum over the FULL output buffer. A cheaper
         # 2048-sample slice checksum was measured SLOWER (93.2k vs 94.3k
         # audio-s/s/chip, tight windows): the full reduce fuses into
         # bandwidth already streaming, the slice does not. Keep full-sum.
         out = batched_nonlinear_speedup(
-            xs, lengths, cfg, 3.5, 1.0, 0.1, mesh=mesh, gain=gain
+            xs, lengths, cfg, 3.5, 1.0, 0.1, mesh=mesh, gain=gain,
+            capacity_factor=cap_factor,
         )
         return jnp.sum(out.output), jnp.sum(out.valid_length)
 

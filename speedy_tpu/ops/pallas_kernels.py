@@ -1048,9 +1048,19 @@ def _pitch_kernel_matrices(taps: int, seg_w: int, minp: int, maxp: int,
                            M: int, n_lag_pad: int, dtype: str = "float32"):
     """Packed, zero-padded variants of _pitch_corr_matrices for the Pallas
     pitch kernel — one matrix per MXU matmul:
-      EA [taps, 2nb], ES [seg_pad, 2nb]  (forward real DFT, [cos | -sin];
-        ES rows seg_w..seg_pad-1 are ZERO so the padded window tail of
-        each grid cell contributes nothing),
+      EH [Hpad, 2nb] (Hpad = taps rounded up to 128): forward real DFT
+        rows for samples 0..taps-1 ([cos | -sin]), zero rows above.
+        Because the template IS the segment's first taps samples
+        (wsola_fast: taps = maxp, seg_w = taps + maxp), EH serves DOUBLE
+        duty: FA = head @ EH is the template DFT AND the head term of
+        the segment DFT — FS = FA + tail @ ETL with the split exactly at
+        sample taps. The old separate full-segment forward matmul
+        ([seg_pad, 2nb] rows) is gone: ~20% of the kernel's MACs, the
+        single largest matmul, for one lane-roll + one VPU add.
+      ETL [Tpad, 2nb] (Tpad = seg_w - taps rounded up to 128): DFT rows
+        for samples taps..seg_w-1; row i multiplies sample taps+i of the
+        lane-rolled slab the kernel feeds it. Zero rows above kill both
+        the roll's wraparound lanes and the slab's past-window samples.
       INV [2nb, n_lag_pad] (inverse DFT at the lags; cols beyond n_lags
         zero),
       BANDC [seg_pad, n_lag_pad]: cols 0..n_lags-1 = windowed lag
@@ -1072,22 +1082,36 @@ def _pitch_kernel_matrices(taps: int, seg_w: int, minp: int, maxp: int,
     z = lambda a, rows, cols: np.pad(
         a, ((0, rows - a.shape[0]), (0, cols - a.shape[1]))
     ).astype(f)
-    EA = z(Ea, taps, 2 * nb)
-    ES = z(Es, seg_pad, 2 * nb)
+    Hpad = -(-taps // 128) * 128
+    Tpad = -(-(seg_w - taps) // 128) * 128
+    EH = z(Ea, Hpad, 2 * nb)  # Ea == Es[:taps] (same basis rows)
+    ETL = z(Es[taps:seg_w], Tpad, 2 * nb)
     INV = z(Inv, 2 * nb, n_lag_pad)
     BANDC = z(Band, seg_pad, n_lag_pad)  # Band is [seg_w, n_lags + 1]
-    return EA, ES, INV, BANDC
+    return EH, ETL, INV, BANDC
 
 
 def _pitch_ssd_kernel(taps, n_lags, minp, n_lag_pad,
-                      x_ref, ea, es, inv, bandc,
+                      x_ref, eh, etl, inv, bandc,
                       gain_ref, out_ref):
     """One program per GC grid cells: windowed SSD over the pitch lag
     range as split-complex DFT matmuls on the MXU with all matrices
     VMEM-resident (fetched once — constant block index across the grid),
     then argmin + 3-point parabolic refinement, emitting only the
     [GC] period estimates. The XLA formulation reads the ~80 MB window
-    operand once per einsum; here x crosses HBM exactly once."""
+    operand once per einsum; here x crosses HBM exactly once.
+
+    The segment forward DFT is SPLIT at the template boundary:
+    FS = FA + tail @ ETL, where FA = head @ EH is simultaneously the
+    template DFT (the template is the segment's first taps samples).
+    The tail operand is the slab lane-rolled by taps (multi-tile lane
+    roll — probed exact on v5e, experiments/multitile_roll_probe.py);
+    ETL's zero rows kill the wraparound lanes. Vs the old separate
+    [seg_pad, 2nb]-row full-segment matmul this trades ~20% of the
+    kernel's MACs (its single largest matmul) for one roll + one add;
+    the FS summation order changes, so lag energies shift by ~2^-24
+    relative — far below the near-silence argmin-tie noise the parity
+    gates already absorb."""
     slab = x_ref[0]  # [GC, G] — cell g's window is its first seg_w lanes
     dt = slab.dtype
     # Per-utterance input gain applied in VMEM: multiplying the slab by
@@ -1099,18 +1123,19 @@ def _pitch_ssd_kernel(taps, n_lags, minp, n_lag_pad,
     # scalar (Mosaic block shapes forbid a (1, 1) SMEM spec here).
     slab = slab * jnp.max(gain_ref[0, 0:1, :])
     hi = jax.lax.Precision.HIGHEST
-    a0 = slab[:, :taps]
     dot = lambda a, m: jnp.dot(a, m, preferred_element_type=dt, precision=hi)
-    nb = ea.shape[1] // 2
-    FA = dot(a0, ea[...])
-    s_in = slab[:, : es.shape[0]]
-    FS = dot(s_in, es[...])
+    nb = eh.shape[1] // 2
+    G = slab.shape[1]
+    FA = dot(slab[:, : eh.shape[0]], eh[...])
+    tail = pltpu.roll(slab, G - taps, 1)[:, : etl.shape[0]]
+    FS = FA + dot(tail, etl[...])
     FAr, FAi = FA[:, :nb], FA[:, nb:]
     FSr, FSi = FS[:, :nb], FS[:, nb:]
     prod = jnp.concatenate(
         [FAr * FSr + FAi * FSi, FAr * FSi - FAi * FSr], axis=1
     )
     cc = dot(prod, inv[...])
+    s_in = slab[:, : bandc.shape[0]]
     sq = s_in * s_in
     e_all = dot(sq, bandc[...])  # lag energies + template energy (col n_lags)
     lane = jax.lax.broadcasted_iota(jnp.int32, cc.shape, 1)

@@ -390,6 +390,7 @@ def batched_nonlinear_speedup(
     num_steps: Optional[int] = None,
     engine: str = "grid",
     gain: Optional[jnp.ndarray] = None,
+    capacity_factor: Optional[float] = None,
 ) -> BatchResult:
     """One device step: xs[B, L] float32 (±1), lengths[B] -> sped-up audio.
 
@@ -402,6 +403,26 @@ def batched_nonlinear_speedup(
     Folded into the pipeline's mandatory first copies of xs (analysis
     windowing, WSOLA pad/pitch-grid builds) — same result as passing
     xs * gain[:, None] up to fp rounding, with no extra [B, L] HBM pass.
+
+    capacity_factor (optional, serving knob — grid engine, global_speed
+    > 1 only): size the output capacity at factor * L / global_speed
+    instead of the worst-case speed-1.0 plan. The duration feedback
+    drives total output duration to ~L/global_speed on convergent audio
+    (the +-14 ms length gates at every rate 1.1-6.3), so the worst-case
+    plan leaves ~(1 - 1/rate) of the output buffer dead at speedups —
+    the kernels already skip dead blocks' DMAs, but every K-proportional
+    XLA stage (time-map inversion, phase snap, synthesis controls, the
+    final mask pass over [B, capacity]) still pays for them: measured
+    +25% end-to-end at 3.5x with factor 1.5 (experiments/
+    capacity_probe.py). CONTRACT: output samples past capacity are
+    dropped and valid_length clamps at capacity — tension-saturated
+    inputs can legitimately run slower than the global rate (the law
+    only bounds speed >= 1 + MIN_SPEED with feedback on), so a
+    truncated utterance reports valid_length == capacity exactly;
+    callers sizing the factor for their corpus should treat that value
+    as the retry-with-a-bigger-factor signal (1.5 holds with >20%
+    margin on the speech/noise/chirp bench families at 3.5x). Ignored
+    when `capacity` is given or global_speed <= 1.
     """
     B, L = xs.shape
     step = cfg.frame_step_int
@@ -453,6 +474,13 @@ def batched_nonlinear_speedup(
         hop, gcap, K = wsola_fast.plan_grid(cfg, L, min_speed_bound)
         if capacity is not None:
             gcap, K = capacity, capacity // hop + 1
+        elif capacity_factor is not None and global_speed > 1.0:
+            # Rate-derived capacity (see docstring): quantized to hop
+            # multiples, never above the worst-case plan, floored at a
+            # few hops so degenerate factors stay runnable.
+            tight = int(np.ceil(capacity_factor * L / global_speed / hop) + 2) * hop
+            if tight < gcap:
+                gcap, K = tight, tight // hop + 1
         # Enables the block-span gather (one DMA per 128 rows).
         max_speed_plan = _plan_max_speed(global_speed, nonlinear_factor)
         out = _run_grid_engine(
@@ -481,6 +509,7 @@ def compile_batch_step(
     min_speed_bound: Optional[float] = None,
     use_mesh: bool = False,
     tp: int = 1,
+    capacity_factor: Optional[float] = None,
 ):
     """Jit the batch step for a fixed (batch, length) bucket."""
     mesh = None
@@ -499,6 +528,7 @@ def compile_batch_step(
             duration_feedback_strength,
             min_speed_bound,
             mesh,
+            capacity_factor=capacity_factor,
         )
 
     return jax.jit(fn)
@@ -514,6 +544,7 @@ def batched_nonlinear_speedup_multichannel(
     min_speed_bound: Optional[float] = None,
     mesh: Optional[Mesh] = None,
     gain: Optional[jnp.ndarray] = None,
+    capacity_factor: Optional[float] = None,
 ) -> BatchResult:
     """Multichannel batch step: xs[B, L, C] -> output[B, C, capacity].
 
@@ -521,7 +552,8 @@ def batched_nonlinear_speedup_multichannel(
     262-287); every channel is resynthesized with the mono-derived pitch
     and phase positions, so identical channels stay identical.
     gain [B] (optional): fused per-utterance input scale (see
-    batched_nonlinear_speedup)."""
+    batched_nonlinear_speedup). capacity_factor: rate-derived output
+    capacity, same contract as batched_nonlinear_speedup."""
     B, L, C = xs.shape
     mono = jnp.mean(xs, axis=2)
     step = cfg.frame_step_int
@@ -555,6 +587,10 @@ def batched_nonlinear_speedup_multichannel(
     )
     speeds = jnp.maximum(speeds, jnp.asarray(min_speed_bound, mono.dtype))
     hop, gcap, K = wsola_fast.plan_grid(cfg, L, min_speed_bound)
+    if capacity_factor is not None and global_speed > 1.0:
+        tight = int(np.ceil(capacity_factor * L / global_speed / hop) + 2) * hop
+        if tight < gcap:
+            gcap, K = tight, tight // hop + 1
     max_speed_plan = _plan_max_speed(global_speed, nonlinear_factor)
     out = _run_grid_engine(
         mono,
@@ -594,6 +630,7 @@ class CorpusEngine:
         batch_size: int = 8,
         use_mesh: bool = False,
         tp: int = 1,
+        capacity_factor: Optional[float] = None,
     ):
         self.cfg = cfg
         self.global_speed = float(global_speed)
@@ -602,6 +639,11 @@ class CorpusEngine:
         self.batch_size = batch_size
         self.use_mesh = use_mesh
         self.tp = tp
+        # Rate-derived output capacity (see batched_nonlinear_speedup's
+        # capacity_factor contract). Utterances that hit the cap report
+        # valid_length == capacity; CorpusEngine retries those with the
+        # worst-case plan so results are always complete.
+        self.capacity_factor = capacity_factor
 
     @staticmethod
     def _bucket_length(n: int) -> int:
@@ -637,11 +679,32 @@ class CorpusEngine:
                 None,
                 self.use_mesh,
                 self.tp,
+                self.capacity_factor,
             )
             out = step_fn(jnp.asarray(xs), jnp.asarray(lengths))
             valid = np.asarray(out.valid_length)
             y = np.asarray(out.output)
             for k, j in enumerate(idxs):
-                results[j] = y[k, : valid[k]]
+                if (
+                    self.capacity_factor is not None
+                    and valid[k] >= y.shape[1]
+                ):
+                    # Rate-derived capacity truncated this utterance
+                    # (valid_length hit the cap): redo it under the
+                    # worst-case plan so the caller always gets complete
+                    # audio — the slow path only ever sees pathological
+                    # (tension-saturated) inputs.
+                    fb = compile_batch_step(
+                        self.cfg, 1, L, self.global_speed,
+                        self.nonlinear_factor, self.feedback, None,
+                        self.use_mesh, self.tp, None,
+                    )
+                    o2 = fb(jnp.asarray(xs[k : k + 1]),
+                            jnp.asarray(lengths[k : k + 1]))
+                    results[j] = np.asarray(o2.output)[
+                        0, : int(np.asarray(o2.valid_length)[0])
+                    ]
+                else:
+                    results[j] = y[k, : valid[k]]
             i += self.batch_size
         return results  # type: ignore

@@ -375,3 +375,56 @@ def test_mesh_analysis_xla_pads_ragged_batch():
     assert got.shape == ref.shape
     # tp-partitioned DFT-bin reductions reorder float sums (few-ulp).
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_capacity_factor_matches_default_plan():
+    """Rate-derived capacity (the serving knob behind the bench's +25%)
+    must be a pure buffer-size change: identical samples and
+    valid_length vs the worst-case speed-1.0 plan whenever the output
+    fits the tightened cap."""
+    xs = make_batch()
+    lengths = jnp.asarray([8000, 8000, 6000, 4000], jnp.int32)
+    ref = batched_nonlinear_speedup(jnp.asarray(xs), lengths, CFG16, 3.0)
+    got = batched_nonlinear_speedup(
+        jnp.asarray(xs), lengths, CFG16, 3.0, capacity_factor=1.5
+    )
+    cap = got.output.shape[1]
+    assert cap < ref.output.shape[1]  # the plan actually tightened
+    np.testing.assert_array_equal(
+        np.asarray(got.valid_length), np.asarray(ref.valid_length)
+    )
+    assert int(np.max(np.asarray(got.valid_length))) < cap  # no clamp hit
+    np.testing.assert_array_equal(
+        np.asarray(got.output), np.asarray(ref.output)[:, :cap]
+    )
+
+
+def test_capacity_factor_truncation_is_loud():
+    """When an utterance's true output exceeds the rate-derived cap, the
+    documented contract holds: valid_length == capacity exactly (the
+    caller's retry signal — CorpusEngine acts on it) and the output
+    buffer is fully populated, not silently zero-tailed."""
+    xs = make_batch()
+    lengths = jnp.asarray([8000] * 4, jnp.int32)
+    out = batched_nonlinear_speedup(
+        jnp.asarray(xs), lengths, CFG16, 3.0, capacity_factor=0.3
+    )
+    cap = out.output.shape[1]
+    valid = np.asarray(out.valid_length)
+    assert np.all(valid == cap)
+    y = np.asarray(out.output)
+    assert np.all(np.any(y[:, cap - 400 :] != 0, axis=1))
+
+
+def test_corpus_engine_capacity_factor_retry():
+    """CorpusEngine with a deliberately too-small capacity_factor must
+    transparently redo truncated utterances under the worst-case plan:
+    results match the plain engine's lengths."""
+    utts = [make_batch(B=1, L=8000, seed=s)[0] for s in range(3)]
+    plain = CorpusEngine(CFG16, 3.0, batch_size=3).process(utts)
+    tight = CorpusEngine(
+        CFG16, 3.0, batch_size=3, capacity_factor=0.3
+    ).process(utts)
+    for a, b in zip(plain, tight):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a, b, atol=1e-5)

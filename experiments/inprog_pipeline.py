@@ -23,7 +23,7 @@ from speedy_tpu.parallel.batch import (
 from speedy_tpu.ops.speed import speed_from_tension_parallel
 
 SR = 16000
-B = int(os.environ.get("B", "96"))
+B = int(os.environ.get("B", "128"))
 L = SR * 10
 NIT = int(os.environ.get("NIT", "24"))
 cfg = SpeedyConfig(SR)
@@ -40,6 +40,12 @@ sync = jax.jit(lambda x: jnp.sum(x))
 
 minp, maxp, cap_s, steps = wsola.plan(cfg, L, 1.0)
 hop, cap, K = wsola_fast.plan_grid(cfg, L, 1.0)
+# Rate-derived capacity (the production serving plan; CAPF=0 restores the
+# worst-case speed-1.0 plan).
+CAPF = float(os.environ.get("CAPF", "1.5"))
+if CAPF:
+    cap = int(np.ceil(CAPF * L / 3.5 / hop) + 2) * hop
+    K = cap // hop + 1
 step = cfg.frame_step_int
 MSP = _plan_max_speed(3.5, 1.0)
 SPEEDS = jnp.full((B, T), 3.51, jnp.float32)
@@ -71,7 +77,8 @@ def with_speeds(amp):
 
 def full_pipeline(amp):
     out = batched_nonlinear_speedup(
-        base_d, lengths, cfg, 3.5, 1.0, 0.1, mesh=None, gain=amp[:, 0]
+        base_d, lengths, cfg, 3.5, 1.0, 0.1, mesh=None, gain=amp[:, 0],
+        capacity_factor=CAPF or None,
     )
     return jnp.sum(out.output) + jnp.sum(out.valid_length).astype(jnp.float32)
 
@@ -107,6 +114,7 @@ ts["analysis+speed"] = run("analysis+speed law", with_speeds)
 ts["w:timemap"] = run("wsola prefix: time map", wsola_stage("timemap"))
 ts["w:pitch"] = run("wsola prefix: +pitch", wsola_stage("pitch"))
 ts["w:phase"] = run("wsola prefix: +phase", wsola_stage("phase"))
+ts["w:synthraw"] = run("wsola prefix: +synth kernel", wsola_stage("synthraw"))
 ts["w:full"] = run("wsola full (synth)", wsola_stage(None))
 ts["pipeline"] = run("FULL production pipeline", full_pipeline)
 
@@ -116,6 +124,7 @@ print(f"  speed law           +{(ts['analysis+speed'] - ts['analysis']) * 1e3:6.
 print(f"  wsola time map       {ts['w:timemap'] * 1e3:6.2f} (incl. scan floor)")
 print(f"  wsola pitch         +{(ts['w:pitch'] - ts['w:timemap']) * 1e3:6.2f}")
 print(f"  wsola phase         +{(ts['w:phase'] - ts['w:pitch']) * 1e3:6.2f}")
-print(f"  wsola synth         +{(ts['w:full'] - ts['w:phase']) * 1e3:6.2f}")
+print(f"  wsola synth kernel  +{(ts['w:synthraw'] - ts['w:phase']) * 1e3:6.2f}")
+print(f"  wsola repack/mask   +{(ts['w:full'] - ts['w:synthraw']) * 1e3:6.2f}")
 print(f"  wsola total          {ts['w:full'] * 1e3:6.2f}")
 print(f"  pipeline             {ts['pipeline'] * 1e3:6.2f}")

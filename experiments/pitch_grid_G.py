@@ -61,6 +61,6 @@ def run_gate(g_mult, speed):
         importlib.reload(wsola_fast)
 
 
-for g in (2, 3):
+for g in (3, 4, 5):
     for sp in (3.5, 3.0, 0.4, 1.7):
         run_gate(g, sp)

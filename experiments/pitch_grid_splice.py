@@ -92,6 +92,6 @@ def splice_error(a):
     return num / den
 
 
-for g in (2, 3, 4):
+for g in (3, 4):
     a = positions(g)
     print(f"G={g}*Hs: splice disagreement ratio = {splice_error(a):.4f}")

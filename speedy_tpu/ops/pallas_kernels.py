@@ -1062,22 +1062,20 @@ def _pitch_kernel_matrices(taps: int, seg_w: int, minp: int, maxp: int,
         lane-rolled slab the kernel feeds it. Zero rows above kill both
         the roll's wraparound lanes and the slab's past-window samples.
       INV [2nb, n_lag_pad] (inverse DFT at the lags; cols beyond n_lags
-        zero),
-      BANDC [seg_pad, n_lag_pad]: cols 0..n_lags-1 = windowed lag
-        energies, col n_lags = template energy. Folding the template
-        column into the lag-energy matmul (n_lag_pad always leaves a
-        spare lane) kills the old dense [seg_pad, n_lag_pad] `Band0`
-        matmul that computed ONE useful column — ~14% of the kernel's
-        MACs — with bitwise-identical output (matmul columns are
-        independent).
+        zero).
+    The reference path's Band matrix (windowed lag energies + template
+    energy) has NO kernel matrix anymore: its columns are banded 0/1
+    sums, which the kernel computes as an in-VMEM lane prefix sum of the
+    squared window plus two rolls (see _pitch_ssd_kernel) — the old
+    [seg_pad, n_lag_pad] energy matmul was 25% of the kernel's MACs at
+    HIGHEST for what is ~30 VPU passes hidden under the DFT matmuls.
     """
     from .wsola_fast import _pitch_corr_matrices
 
-    seg_pad = -(-seg_w // 128) * 128
     nb = M // 2 + 1
     n_lags = maxp - minp + 1
     assert n_lag_pad >= n_lags + 1
-    Ea, Es, Inv, Band = _pitch_corr_matrices(taps, seg_w, minp, maxp, M, dtype)
+    Ea, Es, Inv, _Band = _pitch_corr_matrices(taps, seg_w, minp, maxp, M, dtype)
     f = np.dtype(dtype).type
     z = lambda a, rows, cols: np.pad(
         a, ((0, rows - a.shape[0]), (0, cols - a.shape[1]))
@@ -1087,12 +1085,11 @@ def _pitch_kernel_matrices(taps: int, seg_w: int, minp: int, maxp: int,
     EH = z(Ea, Hpad, 2 * nb)  # Ea == Es[:taps] (same basis rows)
     ETL = z(Es[taps:seg_w], Tpad, 2 * nb)
     INV = z(Inv, 2 * nb, n_lag_pad)
-    BANDC = z(Band, seg_pad, n_lag_pad)  # Band is [seg_w, n_lags + 1]
-    return EH, ETL, INV, BANDC
+    return EH, ETL, INV
 
 
-def _pitch_ssd_kernel(taps, n_lags, minp, n_lag_pad,
-                      x_ref, eh, etl, inv, bandc,
+def _pitch_ssd_kernel(taps, seg_w, n_lags, minp, n_lag_pad,
+                      x_ref, eh, etl, inv,
                       gain_ref, out_ref):
     """One program per GC grid cells: windowed SSD over the pitch lag
     range as split-complex DFT matmuls on the MXU with all matrices
@@ -1135,15 +1132,35 @@ def _pitch_ssd_kernel(taps, n_lags, minp, n_lag_pad,
         [FAr * FSr + FAi * FSi, FAr * FSi - FAi * FSr], axis=1
     )
     cc = dot(prod, inv[...])
-    s_in = slab[:, : bandc.shape[0]]
-    sq = s_in * s_in
-    e_all = dot(sq, bandc[...])  # lag energies + template energy (col n_lags)
-    lane = jax.lax.broadcasted_iota(jnp.int32, cc.shape, 1)
+    # Windowed lag energies via an in-VMEM lane prefix sum instead of the
+    # old [seg_pad, n_lag_pad] 0/1-band matmul (131k MACs/cell at
+    # HIGHEST, 25% of the kernel): e_lag(l) = cum[l+taps-1] - cum[l-1]
+    # with cum the inclusive prefix sum of the squared window, and both
+    # index ranges CONTIGUOUS in l — two lane rolls extract them all.
+    # (The XLA-level cumsum form was a measured dead end — jnp.cumsum
+    # lowers poorly and the einsum streams its operand from HBM; here
+    # the squares live in VMEM and the 9-step log-roll cumsum is ~30 VPU
+    # passes overlapped with the MXU DFTs.) Summation order changes
+    # (doubling tree + big-minus-big difference) shift energies ~2^-22
+    # relative — near-silence argmin ties can flip, absorbed by phase
+    # snapping like the forward-split's 2^-24 shifts.
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, slab.shape, 1)
+    sq = jnp.where(lane_g < seg_w, slab * slab, jnp.zeros((), dt))
+    cum = sq
+    sh = 1
+    while sh < G:
+        # pltpu.roll rotates right: rolled[i] = cum[i - sh]
+        cum = cum + jnp.where(lane_g >= sh, pltpu.roll(cum, sh, 1), 0.0)
+        sh *= 2
+    e_hi = pltpu.roll(cum, G - (minp + taps - 1), 1)[:, :n_lag_pad]
+    e_lo = pltpu.roll(cum, G - (minp - 1), 1)[:, :n_lag_pad]
+    e_lag = e_hi - e_lo  # [GC, n_lag_pad]; lanes >= n_lags are garbage
     e0 = jnp.sum(
-        jnp.where(lane == n_lags, e_all, 0.0), axis=1, keepdims=True
+        jnp.where(lane_g == taps - 1, cum, 0.0), axis=1, keepdims=True
     )
+    lane = jax.lax.broadcasted_iota(jnp.int32, cc.shape, 1)
     big = jnp.asarray(3e38, dt)
-    ssd = jnp.where(lane < n_lags, e_all + e0 - 2.0 * cc, big)
+    ssd = jnp.where(lane < n_lags, e_lag + e0 - 2.0 * cc, big)
     jmin = jnp.argmin(ssd, axis=1)
     jc = jnp.clip(jmin, 1, n_lags - 2)[:, None]  # [GC, 1]
     pick = lambda off: jnp.sum(
@@ -1202,8 +1219,11 @@ def pitch_ssd_pallas(
         )
     )
     c0 = lambda b, cb: (0, 0)
+    assert minp >= 1  # e_lo's roll reads cum[minp + lane - 1]
     out = pl.pallas_call(
-        functools.partial(_pitch_ssd_kernel, taps, n_lags, minp, n_lag_pad),
+        functools.partial(
+            _pitch_ssd_kernel, taps, seg_w, n_lags, minp, n_lag_pad
+        ),
         grid=(B, NC),
         in_specs=[
             pl.BlockSpec((1, GC, G), lambda b, cb: (b, cb, 0)),

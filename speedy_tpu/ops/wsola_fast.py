@@ -566,6 +566,12 @@ def _wsola_grid_batch(
                 span_rows, w_span, valid_rows,
                 interpret=not on_tpu, gain=g_s,
             )  # [N, K, Hs]
+            if debug_stage == "synthraw":
+                # Bisect hook: checksum the kernel's output BEFORE the
+                # reshape/mask pass so `full - synthraw` isolates that
+                # pass's cost (dead blocks' garbage may make the sum
+                # NaN — timing-only).
+                return slots
             out_full = slots.reshape(n, K * Hs)
         else:
             src_s = src_raw if g_s is None else src_raw * g_s[:, None]
@@ -609,6 +615,8 @@ def _wsola_grid_batch(
     g_vec = None if gain is None else gain.astype(dtype)
     if xs_channels is None:
         out = synth(xs, a_i, a_f, valid_m, g_vec)
+        if debug_stage == "synthraw":
+            return jnp.sum(out) + jnp.sum(valid).astype(dtype)
     else:
         C = xs_channels.shape[1]
         rep = lambda v: None if v is None else jnp.repeat(v, C, axis=0)

@@ -1170,7 +1170,24 @@ def _pitch_ssd_kernel(taps, seg_w, n_lags, minp, n_lag_pad,
     den = l_ - 2.0 * m_ + r_
     frac = jnp.where(jnp.abs(den) > 1e-12, 0.5 * (l_ - r_) / den, 0.0)
     period = (minp + jc).astype(dt) + jnp.clip(frac, -0.5, 0.5)  # [GC, 1]
-    out_ref[0, :, :] = jnp.broadcast_to(period, out_ref.shape[1:])
+    # Pack the GC per-cell periods LANE-DENSE into ceil(GC/128) output
+    # rows (cell g -> row g // 128, lane g % 128) instead of broadcasting
+    # each period across a full 128-lane row: the old [GC, 128] block was
+    # a 128x output write amplification (~21 MB/step of pure padding at
+    # production shapes). The transpose-free packing is the same masked
+    # cross-sublane reduce the synthesis kernel's col() uses in reverse.
+    GC = period.shape[0]
+    sub_p = jax.lax.broadcasted_iota(jnp.int32, (GC, 128), 0)
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (GC, 128), 1)
+    P = jnp.broadcast_to(period, (GC, 128))
+    out_ref[0, :, :] = jnp.zeros(out_ref.shape[1:], dt)
+    for r in range(-(-GC // 128)):
+        row = jnp.sum(
+            jnp.where((sub_p == r * 128 + lane_p), P, 0.0),
+            axis=0,
+            keepdims=True,
+        )
+        out_ref[0, r : r + 1, :] = row
 
 
 @functools.partial(
@@ -1220,6 +1237,11 @@ def pitch_ssd_pallas(
     )
     c0 = lambda b, cb: (0, 0)
     assert minp >= 1  # e_lo's roll reads cum[minp + lane - 1]
+    # Periods come back lane-dense: ceil(GC/128) meaningful rows per
+    # program, padded to the 8-sublane f32 tile (see _pitch_ssd_kernel).
+    PR = -(-GC // 128)
+    OR = max(8, -(-PR // 8) * 8)
+    assert GC <= OR * 128
     out = pl.pallas_call(
         functools.partial(
             _pitch_ssd_kernel, taps, seg_w, n_lags, minp, n_lag_pad
@@ -1236,14 +1258,17 @@ def pitch_ssd_pallas(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((1, GC, 128), lambda b, cb: (b, cb, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, NC * GC, 128), xg.dtype),
+        out_specs=pl.BlockSpec((1, OR, 128), lambda b, cb: (b, cb, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, NC * OR, 128), xg.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
     )(xg, *mats, g_arr)
-    return out[:, :nc, 0]
+    per = out.reshape(B, NC, OR, 128)[:, :, :PR, :].reshape(B, NC * PR * 128)
+    if PR * 128 != GC:
+        per = per.reshape(B, NC, PR * 128)[:, :, :GC].reshape(B, NC * GC)
+    return per[:, :nc]
 
 
 # ---------------------------------------------------------------------------

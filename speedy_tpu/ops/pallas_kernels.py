@@ -1088,6 +1088,55 @@ def _pitch_kernel_matrices(taps: int, seg_w: int, minp: int, maxp: int,
     return EH, ETL, INV
 
 
+def _pitch_cell_body(slab, taps, seg_w, n_lags, minp, n_lag_pad,
+                     eh, etl, inv):
+    """Shared pitch-SSD math on a VMEM-resident [GC, G] cell slab (gain
+    already applied): packed split-complex DFT matmuls + lane prefix-sum
+    lag energies + argmin/parabolic refine -> period [GC, 1]. Used by
+    the standalone pitch kernel (pitch_ssd_pallas) and the fused
+    analysis+pitch front-end (identical MACs in both)."""
+    dt = slab.dtype
+    G = slab.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+    dot = lambda a, m: jnp.dot(a, m, preferred_element_type=dt, precision=hi)
+    nb = eh.shape[1] // 2
+    FA = dot(slab[:, : eh.shape[0]], eh[...])
+    tail = pltpu.roll(slab, G - taps, 1)[:, : etl.shape[0]]
+    FS = FA + dot(tail, etl[...])
+    FAr, FAi = FA[:, :nb], FA[:, nb:]
+    FSr, FSi = FS[:, :nb], FS[:, nb:]
+    prod = jnp.concatenate(
+        [FAr * FSr + FAi * FSi, FAr * FSi - FAi * FSr], axis=1
+    )
+    cc = dot(prod, inv[...])
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, slab.shape, 1)
+    sq = jnp.where(lane_g < seg_w, slab * slab, jnp.zeros((), dt))
+    cum = sq
+    sh = 1
+    while sh < G:
+        # pltpu.roll rotates right: rolled[i] = cum[i - sh]
+        cum = cum + jnp.where(lane_g >= sh, pltpu.roll(cum, sh, 1), 0.0)
+        sh *= 2
+    e_hi = pltpu.roll(cum, G - (minp + taps - 1), 1)[:, :n_lag_pad]
+    e_lo = pltpu.roll(cum, G - (minp - 1), 1)[:, :n_lag_pad]
+    e_lag = e_hi - e_lo  # [GC, n_lag_pad]; lanes >= n_lags are garbage
+    e0 = jnp.sum(
+        jnp.where(lane_g == taps - 1, cum, 0.0), axis=1, keepdims=True
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, cc.shape, 1)
+    big = jnp.asarray(3e38, dt)
+    ssd = jnp.where(lane < n_lags, e_lag + e0 - 2.0 * cc, big)
+    jmin = jnp.argmin(ssd, axis=1)
+    jc = jnp.clip(jmin, 1, n_lags - 2)[:, None]  # [GC, 1]
+    pick = lambda off: jnp.sum(
+        jnp.where(lane == jc + off, ssd, 0.0), axis=1, keepdims=True
+    )
+    l_, m_, r_ = pick(-1), pick(0), pick(1)
+    den = l_ - 2.0 * m_ + r_
+    frac = jnp.where(jnp.abs(den) > 1e-12, 0.5 * (l_ - r_) / den, 0.0)
+    return (minp + jc).astype(dt) + jnp.clip(frac, -0.5, 0.5)  # [GC, 1]
+
+
 def _pitch_ssd_kernel(taps, seg_w, n_lags, minp, n_lag_pad,
                       x_ref, eh, etl, inv,
                       gain_ref, out_ref):
@@ -1119,57 +1168,21 @@ def _pitch_ssd_kernel(taps, seg_w, n_lags, minp, n_lag_pad,
     # The [1, 128] VMEM row is constant-valued; max() collapses it to the
     # scalar (Mosaic block shapes forbid a (1, 1) SMEM spec here).
     slab = slab * jnp.max(gain_ref[0, 0:1, :])
-    hi = jax.lax.Precision.HIGHEST
-    dot = lambda a, m: jnp.dot(a, m, preferred_element_type=dt, precision=hi)
-    nb = eh.shape[1] // 2
-    G = slab.shape[1]
-    FA = dot(slab[:, : eh.shape[0]], eh[...])
-    tail = pltpu.roll(slab, G - taps, 1)[:, : etl.shape[0]]
-    FS = FA + dot(tail, etl[...])
-    FAr, FAi = FA[:, :nb], FA[:, nb:]
-    FSr, FSi = FS[:, :nb], FS[:, nb:]
-    prod = jnp.concatenate(
-        [FAr * FSr + FAi * FSi, FAr * FSi - FAi * FSr], axis=1
-    )
-    cc = dot(prod, inv[...])
-    # Windowed lag energies via an in-VMEM lane prefix sum instead of the
-    # old [seg_pad, n_lag_pad] 0/1-band matmul (131k MACs/cell at
-    # HIGHEST, 25% of the kernel): e_lag(l) = cum[l+taps-1] - cum[l-1]
-    # with cum the inclusive prefix sum of the squared window, and both
-    # index ranges CONTIGUOUS in l — two lane rolls extract them all.
-    # (The XLA-level cumsum form was a measured dead end — jnp.cumsum
-    # lowers poorly and the einsum streams its operand from HBM; here
-    # the squares live in VMEM and the 9-step log-roll cumsum is ~30 VPU
-    # passes overlapped with the MXU DFTs.) Summation order changes
-    # (doubling tree + big-minus-big difference) shift energies ~2^-22
-    # relative — near-silence argmin ties can flip, absorbed by phase
-    # snapping like the forward-split's 2^-24 shifts.
-    lane_g = jax.lax.broadcasted_iota(jnp.int32, slab.shape, 1)
-    sq = jnp.where(lane_g < seg_w, slab * slab, jnp.zeros((), dt))
-    cum = sq
-    sh = 1
-    while sh < G:
-        # pltpu.roll rotates right: rolled[i] = cum[i - sh]
-        cum = cum + jnp.where(lane_g >= sh, pltpu.roll(cum, sh, 1), 0.0)
-        sh *= 2
-    e_hi = pltpu.roll(cum, G - (minp + taps - 1), 1)[:, :n_lag_pad]
-    e_lo = pltpu.roll(cum, G - (minp - 1), 1)[:, :n_lag_pad]
-    e_lag = e_hi - e_lo  # [GC, n_lag_pad]; lanes >= n_lags are garbage
-    e0 = jnp.sum(
-        jnp.where(lane_g == taps - 1, cum, 0.0), axis=1, keepdims=True
-    )
-    lane = jax.lax.broadcasted_iota(jnp.int32, cc.shape, 1)
-    big = jnp.asarray(3e38, dt)
-    ssd = jnp.where(lane < n_lags, e_lag + e0 - 2.0 * cc, big)
-    jmin = jnp.argmin(ssd, axis=1)
-    jc = jnp.clip(jmin, 1, n_lags - 2)[:, None]  # [GC, 1]
-    pick = lambda off: jnp.sum(
-        jnp.where(lane == jc + off, ssd, 0.0), axis=1, keepdims=True
-    )
-    l_, m_, r_ = pick(-1), pick(0), pick(1)
-    den = l_ - 2.0 * m_ + r_
-    frac = jnp.where(jnp.abs(den) > 1e-12, 0.5 * (l_ - r_) / den, 0.0)
-    period = (minp + jc).astype(dt) + jnp.clip(frac, -0.5, 0.5)  # [GC, 1]
+    # Windowed lag energies inside _pitch_cell_body use an in-VMEM lane
+    # prefix sum instead of the old [seg_pad, n_lag_pad] 0/1-band matmul
+    # (131k MACs/cell at HIGHEST, 25% of the kernel): e_lag(l) =
+    # cum[l+taps-1] - cum[l-1] with cum the inclusive prefix sum of the
+    # squared window, and both index ranges CONTIGUOUS in l — two lane
+    # rolls extract them all. (The XLA-level cumsum form was a measured
+    # dead end — jnp.cumsum lowers poorly and the einsum streams its
+    # operand from HBM; here the squares live in VMEM and the 9-step
+    # log-roll cumsum is ~30 VPU passes overlapped with the MXU DFTs.)
+    # Summation order shifts energies ~2^-22 relative — near-silence
+    # argmin ties can flip, absorbed by phase snapping like the
+    # forward-split's 2^-24 shifts.
+    period = _pitch_cell_body(
+        slab, taps, seg_w, n_lags, minp, n_lag_pad, eh, etl, inv
+    )  # [GC, 1]
     # Pack the GC per-cell periods LANE-DENSE into ceil(GC/128) output
     # rows (cell g -> row g // 128, lane g % 128) instead of broadcasting
     # each period across a full 128-lane row: the old [GC, 128] block was
@@ -1325,8 +1338,8 @@ def _analysis_matrices(window: int, hb: int, nt: int, dtype: str = "float32"):
 
 
 def _analysis_kernel(
-    NC, n_g1, gf, gr, nt, hb, W, step, chunk_rows, l_rows, prec,
-    x_ref, E_ref, ham_ref, em_ref, gain_ref, out_ref, scratch, sems,
+    NC, n_g1, gf, gr, nt, hb, W, step, chunk_rows, l_rows, prec, pitch,
+    x_ref, E_ref, ham_ref, em_ref, *rest,
 ):
     """One grid program per utterance; NC chunks unrolled with double-
     buffered chunk DMAs. Per chunk (ng = n_g1 - 1 groups of gf frames,
@@ -1348,7 +1361,21 @@ def _analysis_kernel(
       5. magnitude / energy / 40 dB bin mask / L2-normalize / masked
          |log-ratio| vs frame t-1 — all on the VMEM slabs; only the
          [gf, ng] per-frame energy and lsd rows leave the core.
+
+    With `pitch` set (the fused analysis+pitch front-end), each chunk
+    additionally runs the pitch-SSD search for the grid cells whose
+    windows the chunk's scratch slab already holds — the cell slab is
+    RC strided sublane views of scratch (zero extra HBM traffic; the
+    standalone pitch kernel's second full-input read is gone), the
+    forward DFT is a row-tile split against _pitch_rowsplit_matrices,
+    lag energies come from per-row lane prefix sums with cross-row
+    carries, and per-cell periods pack lane-dense into a second output.
     """
+    if pitch is None:
+        gain_ref, out_ref, scratch, sems = rest
+    else:
+        (eh_ref, etl_ref, inv_ref, gain_ref, out_ref, out2_ref,
+         scratch, sems) = rest
     b = pl.program_id(0)
     ng = n_g1 - 1
     R = gf * n_g1
@@ -1402,6 +1429,9 @@ def _analysis_kernel(
     @pl.when(NC > 0)
     def _():
         chunk_dma(0, 0).start()
+
+    if pitch is not None:
+        out2_ref[0, :, :] = jnp.zeros(out2_ref.shape[1:], dt)
 
     for c in range(NC):
         slot = c % 2
@@ -1488,11 +1518,147 @@ def _analysis_kernel(
         rows = jnp.swapaxes(ecl, 0, 1)  # [2*gf, n_g1]
         out_ref[0, c * 16 : c * 16 + 2 * gf, :] = rows
 
+        if pitch is None:
+            continue
+        RC, taps, seg_w, minp, n_lags, n_lag_pad, PRC, plan = pitch
+        base, CPC = plan[c]
+        if CPC <= 0:
+            continue
+        gscal = jnp.max(gain_ref[0, 0:1, :])
+        view = scratch[slot, base : base + RC * CPC, :].reshape(CPC, RC, 128)
+        # Cell k's G samples are scratch rows base+RC*k .. +RC-1: the RC
+        # strided row views X[r] hold sample 128*r + lane of every cell.
+        # (A lane-concat into the standalone kernel's [CPC, G] slab is
+        # NOT Mosaic-legal here — the strided views carry sublane
+        # offsets, "result/input offset mismatch on non-concat
+        # dimension" — so the packed matmuls run tile-split instead:
+        # dot(concat(a0, a1), M) == dot(a0, M0) + dot(a1, M1) exactly,
+        # same MACs, no concat.)
+        X = [view[:, r, :] * gscal for r in range(RC)]
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (CPC, 128), 1)
+        hi = jax.lax.Precision.HIGHEST
+        dotp = lambda a, m: jnp.dot(
+            a, m, preferred_element_type=dt, precision=hi
+        )
+
+        def flat_tile(s0):
+            # [CPC, 128] holding flat cell samples s0 .. s0+127: aligned
+            # row + static roll + lane-carry select (wraps zeros/garbage
+            # only into lanes a zero basis row multiplies).
+            r, off = divmod(s0, 128)
+            if r >= RC:
+                return jnp.zeros((CPC, 128), dt)
+            if off == 0:
+                return X[r]
+            a_ = pltpu.roll(X[r], 128 - off, 1)
+            b_ = pltpu.roll(
+                X[r + 1] if r + 1 < RC else jnp.zeros((CPC, 128), dt),
+                128 - off, 1,
+            )
+            return jnp.where(lane_c < 128 - off, a_, b_)
+
+        # Forward DFTs, tile-split against the SAME packed matrices as
+        # the standalone kernel (identical MAC count): FA over the head
+        # tiles, FS = FA + roll-aligned tail tiles @ ETL tiles.
+        FA = None
+        for k in range(eh_ref.shape[0] // 128):
+            t_ = dotp(X[k], eh_ref[k * 128 : (k + 1) * 128, :])
+            FA = t_ if FA is None else FA + t_
+        FS = FA
+        for k in range(etl_ref.shape[0] // 128):
+            if k * 128 >= seg_w - taps:
+                break  # zero ETL rows from here on
+            FS = FS + dotp(
+                flat_tile(taps + k * 128),
+                etl_ref[k * 128 : (k + 1) * 128, :],
+            )
+        nb2 = eh_ref.shape[1] // 2
+        FAr, FAi = FA[:, :nb2], FA[:, nb2:]
+        FSr, FSi = FS[:, :nb2], FS[:, nb2:]
+        prod = jnp.concatenate(
+            [FAr * FSr + FAi * FSi, FAr * FSi - FAi * FSr], axis=1
+        )
+        cc = dotp(prod, inv_ref[...])  # [CPC, n_lag_pad]
+        # Windowed lag energies: per-row 7-step log-roll lane prefix
+        # sums with cross-row carries (the standalone kernel's G-lane
+        # cumsum in row layout; summation-order shifts ~2^-22 — the
+        # argmin-tie class the parity gates absorb).
+        cums = []
+        carry = None
+        for r in range(RC):
+            sq = X[r] * X[r]
+            if (r + 1) * 128 > seg_w:
+                sq = jnp.where(
+                    r * 128 + lane_c < seg_w, sq, jnp.zeros((), dt)
+                )
+            cum = sq
+            sh = 1
+            while sh < 128:
+                cum = cum + jnp.where(
+                    lane_c >= sh, pltpu.roll(cum, sh, 1), 0.0
+                )
+                sh *= 2
+            if carry is not None:
+                cum = cum + carry
+            carry = cum[:, 127:128]
+            cums.append(cum)
+
+        def cum_window(s0):
+            # tiles of cum_flat[s0 + j], j in [0, n_lag_pad)
+            tiles = []
+            for t_i in range(n_lag_pad // 128):
+                sb = s0 + 128 * t_i
+                rr = sb // 128
+                off = sb - rr * 128
+                if rr >= RC:
+                    tiles.append(jnp.zeros((CPC, 128), dt))
+                    continue
+                if off == 0:
+                    tiles.append(cums[rr])
+                    continue
+                a_ = pltpu.roll(cums[rr], 128 - off, 1)
+                b_ = pltpu.roll(
+                    cums[rr + 1] if rr + 1 < RC else cums[0], 128 - off, 1
+                )
+                tiles.append(jnp.where(lane_c < 128 - off, a_, b_))
+            return jnp.concatenate(tiles, axis=1)
+
+        e_lag = cum_window(minp + taps - 1) - cum_window(minp - 1)
+        e0 = jnp.sum(
+            jnp.where(
+                lane_c == (taps - 1) % 128, cums[(taps - 1) // 128], 0.0
+            ),
+            axis=1,
+            keepdims=True,
+        )
+        lane_l = jax.lax.broadcasted_iota(jnp.int32, cc.shape, 1)
+        big = jnp.asarray(3e38, dt)
+        ssd = jnp.where(lane_l < n_lags, e_lag + e0 - 2.0 * cc, big)
+        jmin = jnp.argmin(ssd, axis=1)
+        jc = jnp.clip(jmin, 1, n_lags - 2)[:, None]
+        pick = lambda off: jnp.sum(
+            jnp.where(lane_l == jc + off, ssd, 0.0), axis=1, keepdims=True
+        )
+        l_, m_, r_ = pick(-1), pick(0), pick(1)
+        den = l_ - 2.0 * m_ + r_
+        frac = jnp.where(jnp.abs(den) > 1e-12, 0.5 * (l_ - r_) / den, 0.0)
+        period = (minp + jc).astype(dt) + jnp.clip(frac, -0.5, 0.5)
+        # Lane-dense packing, as in _pitch_ssd_kernel.
+        sub_p = jax.lax.broadcasted_iota(jnp.int32, (CPC, 128), 0)
+        P_ = jnp.broadcast_to(period, (CPC, 128))
+        for r in range(-(-CPC // 128)):
+            row = jnp.sum(
+                jnp.where(sub_p == r * 128 + lane_c, P_, 0.0),
+                axis=0,
+                keepdims=True,
+            )
+            out2_ref[0, c * PRC + r : c * PRC + r + 1, :] = row
+
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_frames", "window", "step", "precision",
-                     "interpret"),
+                     "interpret", "pitch_geom"),
 )
 def analysis_energy_lsd_pallas(
     x: jnp.ndarray,
@@ -1502,6 +1668,7 @@ def analysis_energy_lsd_pallas(
     gain: Optional[jnp.ndarray] = None,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
+    pitch_geom=None,
 ):
     """Fused analysis front-end: x[B, L] -> (energy[B, T], lsd[B, T]).
 
@@ -1520,7 +1687,15 @@ def analysis_energy_lsd_pallas(
 
     Geometry: integer-step frames only; supported when
     _analysis_geometry(window, step) is not None (16/24 kHz-class
-    configs; 22.05 kHz's 32-phase pattern stays on the XLA path)."""
+    configs; 22.05 kHz's 32-phase pattern stays on the XLA path).
+
+    pitch_geom (optional, static): (taps, minp, maxp, G) — fuse the
+    WSOLA pitch-grid SSD search into the same single pass over x (the
+    pipeline's two largest stages each streamed the full input from HBM;
+    fused, x crosses HBM once for both). G must match wsola_fast's grid
+    stride (pitch_grid_stride). Returns (energy, lsd, periods[B, n_grid])
+    with n_grid = ceil((L + seg_w) / G), period math identical to
+    pitch_ssd_pallas up to fp summation order (see _analysis_kernel)."""
     geo = _analysis_geometry(window, step)
     assert geo is not None, (window, step)
     gf, gr, nt, hb = geo
@@ -1540,6 +1715,59 @@ def analysis_energy_lsd_pallas(
     # Chunk c covers groups [c*ng - 1, c*ng + ng): rows c*ng*gr (8-aligned
     # down, residual re-added in-kernel) .. + chunk_rows.
     chunk_rows = (-(-((n_g1 * gf - 1) * step + W) // 128) + 2 + 7) // 8 * 8
+    pitch = None
+    mats_p = ()
+    if pitch_geom is not None:
+        taps, minp, maxp, G = pitch_geom
+        from .wsola_fast import _pitch_dft_size
+
+        seg_w = taps + maxp
+        assert G % 128 == 0 and G >= seg_w and minp >= 1
+        RC = G // 128
+        M = _pitch_dft_size(max(seg_w, taps + maxp))
+        nb = M // 2 + 1
+        # Row-split matmuls want lane-tile-aligned DFT columns; the
+        # caller gates on this (16 kHz-class M=510 -> 2nb=512).
+        assert (2 * nb) % 128 == 0, M
+        n_lags = maxp - minp + 1
+        n_lag_pad = -(-(n_lags + 1) // 128) * 128
+        n_grid = -(-(L + seg_w) // G)
+        # Static per-chunk cell plan: chunk c owns cells starting before
+        # sample (c+1)*F*step; every owned cell's RC window rows must sit
+        # inside the chunk's scratch slab — grow chunk_rows until the
+        # plan fits (the slack needed is ~gr + RC + 8 rows beyond the
+        # analysis chunk; the extra DMA bytes are noise).
+        while True:
+            plan = []
+            g0 = 0
+            fits = True
+            for c in range(NC):
+                org = (c * ng * gr) // 8 * 8
+                g1 = (
+                    n_grid if c == NC - 1
+                    else min(n_grid, -(-((c + 1) * F * step) // G))
+                )
+                g1 = max(g0, g1)
+                base = gr + RC * g0 - org
+                assert base >= 0
+                if g1 > g0 and base + RC * (g1 - g0) > chunk_rows:
+                    fits = False
+                    break
+                plan.append((base, g1 - g0))
+                g0 = g1
+            if fits:
+                break
+            chunk_rows += 8
+        max_cpc = max(cpc for _, cpc in plan)
+        PRC = max(1, -(-max_cpc // 128))
+        pitch = (RC, taps, seg_w, minp, n_lags, n_lag_pad, PRC,
+                 tuple(plan))
+        mats_p = tuple(
+            jnp.asarray(m)
+            for m in _pitch_kernel_matrices(
+                taps, seg_w, minp, maxp, M, n_lag_pad, str(np.dtype(dt))
+            )
+        )
     l_rows = -(-((NC - 1) * ng * gr + chunk_rows) // 8) * 8
     # Front pad of gr zero rows = the zero "frame -1" ring slot; tail pad
     # covers the last chunk's window overhang.
@@ -1554,21 +1782,35 @@ def analysis_energy_lsd_pallas(
     )
     kernel = functools.partial(
         _analysis_kernel, NC, n_g1, gf, gr, nt, hb, W, step, chunk_rows,
-        l_rows, precision,
+        l_rows, precision, pitch,
     )
     c0 = lambda b: (0, 0)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(E.shape, c0),
+        pl.BlockSpec(ham.shape, c0),
+        pl.BlockSpec(emask.shape, c0),
+        *[pl.BlockSpec(m.shape, c0) for m in mats_p],
+        pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0)),
+    ]
+    out_specs = pl.BlockSpec((1, NC * 16, n_g1), lambda b: (b, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, NC * 16, n_g1), dt)
+    if pitch is not None:
+        PRC = pitch[6]
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, NC * PRC, 128), lambda b: (b, 0, 0)),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((B, NC * PRC, 128), dt),
+        )
     out = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(E.shape, c0),
-            pl.BlockSpec(ham.shape, c0),
-            pl.BlockSpec(emask.shape, c0),
-            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, NC * 16, n_g1), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, NC * 16, n_g1), dt),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, chunk_rows, 128), dt),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1577,7 +1819,16 @@ def analysis_energy_lsd_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(x2, jnp.asarray(E), jnp.asarray(ham), jnp.asarray(emask), g_arr)
+    )(x2, jnp.asarray(E), jnp.asarray(ham), jnp.asarray(emask), *mats_p,
+      g_arr)
+    if pitch is not None:
+        out, out2 = out
+        per2 = out2.reshape(B, NC, PRC * 128)
+        periods = jnp.concatenate(
+            [per2[:, c, :cpc] for c, (_, cpc) in enumerate(pitch[7])
+             if cpc > 0],
+            axis=1,
+        )
     # Unpack [B, NC, 16, n_g1]: frame (c*ng + g - 1)*gf + p lives at
     # [b, c, p, g] (energy) / [b, c, gf + p, g] (lsd), g in 1..ng.
     o = out.reshape(B, NC, 16, n_g1)
@@ -1588,4 +1839,6 @@ def analysis_energy_lsd_pallas(
         v = jnp.swapaxes(v, 2, 3).reshape(B, NC * F)
         return v[:, :T]
 
+    if pitch is not None:
+        return unpack(0), unpack(gf), periods
     return unpack(0), unpack(gf)

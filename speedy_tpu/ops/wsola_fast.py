@@ -293,6 +293,7 @@ def _wsola_grid_batch(
     return_period: bool = False,
     gain: Optional[jnp.ndarray] = None,
     debug_stage: Optional[str] = None,
+    period_grid: Optional[jnp.ndarray] = None,
 ) -> WsolaResult:
     """xs[B, L], input_lengths[B], speeds[B, F] -> WsolaResult with
     output[B, capacity], valid_length[B].
@@ -429,12 +430,13 @@ def _wsola_grid_batch(
     force_pitch = os.environ.get("SPEEDY_FORCE_PITCH_KERNEL", "")
     on_tpu_p = jax.default_backend() == "tpu"
     kernel_pitch = on_tpu_p or force_pitch == "interpret"
-    xs_pitch = jnp.concatenate(
-        [xs if kernel_pitch else xs_g,
-         jnp.zeros((B, n_cells * G - L), dtype)], axis=1
-    )
-    y = xs_pitch.reshape(B, n_cells, G)
-    seg = y[:, :, :seg_w]  # [B, n_grid, seg_w] — slice view, no copy
+    if period_grid is None:
+        xs_pitch = jnp.concatenate(
+            [xs if kernel_pitch else xs_g,
+             jnp.zeros((B, n_cells * G - L), dtype)], axis=1
+        )
+        y = xs_pitch.reshape(B, n_cells, G)
+        seg = y[:, :, :seg_w]  # [B, n_grid, seg_w] — slice view, no copy
     def ssd_matmul(seg_c, a_taps, lag_lo, lag_hi, prec):
         """SSD(d) for d in [lag_lo, lag_hi] over seg_c [B, Gc, w] with the
         template = first a_taps samples, as DFT matmuls on the MXU (see
@@ -486,7 +488,15 @@ def _wsola_grid_batch(
     # period multiple aligns phase). The einsum path remains the
     # off-TPU/reference formulation; SPEEDY_FORCE_PITCH_KERNEL=interpret
     # routes the kernel through interpret mode for hermetic coverage.
-    if kernel_pitch:
+    if period_grid is not None:
+        # Precomputed by the fused analysis+pitch front-end kernel
+        # (pallas_kernels.analysis_energy_lsd_pallas with pitch_geom):
+        # the caller guarantees it was built with THIS G (same
+        # pitch_grid_stride) over the same xs, so the cell indexing
+        # below is identical. Whole-utterance single-shot callers only
+        # (streaming continuations keep the in-engine pitch path).
+        pass
+    elif kernel_pitch:
         from .pallas_kernels import pitch_ssd_pallas
 
         period_grid = pitch_ssd_pallas(

@@ -47,6 +47,7 @@ def batched_analysis(
     num_frames: int,
     mesh: Optional[Mesh] = None,
     gain: Optional[jnp.ndarray] = None,
+    pitch_geom=None,
 ) -> jnp.ndarray:
     """Fused batched front-end: xs[B, L] -> tension[B, T_out].
 
@@ -59,6 +60,14 @@ def batched_analysis(
     and the DFT are linear in the samples, so the scale is folded into
     the windowing multiply (`fw`) — equivalent to analyzing xs * gain
     (up to fp rounding) with zero extra HBM passes.
+
+    pitch_geom (optional, static (taps, minp, maxp, G)): fuse the WSOLA
+    pitch-grid search into the analysis kernel's single pass over xs
+    (analysis and pitch are the pipeline's two full-input HBM streams;
+    fused they share one). Returns (tension, period_grid[B, n_grid]) —
+    period_grid is None when the Pallas front-end isn't the active path
+    (off-TPU without the interpret force), in which case the WSOLA
+    engine computes pitch itself.
     """
     dtype = xs.dtype
     B, L = xs.shape
@@ -83,7 +92,8 @@ def batched_analysis(
     if T_out == 0:
         # Clip shorter than the tension lookahead: no tension frames exist
         # (the shim drains such audio at the requested speed on flush).
-        return jnp.zeros((B, 0), dtype)
+        empty = jnp.zeros((B, 0), dtype)
+        return (empty, None) if pitch_geom is not None else empty
 
     # Batches not divisible by dp are zero-padded up front (sharding
     # constraints and the shard_map'd kernel both need dp | B) and the
@@ -116,28 +126,34 @@ def batched_analysis(
     force_k = os.environ.get("SPEEDY_FORCE_ANALYSIS_KERNEL", "")
     on_tpu = jax.default_backend() == "tpu"
     geo_ok = _pk._analysis_geometry(W, step) is not None
+    periods = None
     if (on_tpu or force_k == "interpret") and geo_ok:
         prec = dft.analysis_precision()
 
         def kern(x_s, g_s):
             return _pk.analysis_energy_lsd_pallas(
                 x_s, T, W, step, gain=g_s, precision=prec,
-                interpret=not on_tpu,
+                interpret=not on_tpu, pitch_geom=pitch_geom,
             )
 
+        n_out = 2 if pitch_geom is None else 3
         if mesh is None:
-            energy, lsd_full = kern(xs, gain)
+            res = kern(xs, gain)
         else:
             # B is dp-divisible (padded above).
             in_specs = [P("dp", None)] + ([P("dp")] if gain is not None else [])
             args = [xs] + ([gain] if gain is not None else [])
-            energy, lsd_full = jax.shard_map(
+            res = jax.shard_map(
                 (lambda x_s, g_s=None: kern(x_s, g_s)),
                 mesh=mesh,
                 in_specs=tuple(in_specs),
-                out_specs=(P("dp", None), P("dp", None)),
+                out_specs=tuple([P("dp", None)] * n_out),
                 check_vma=False,  # Pallas calls opaque to the vma checker
             )(*args)
+        if pitch_geom is not None:
+            energy, lsd_full, periods = res
+        else:
+            energy, lsd_full = res
         energy = c(energy, P("dp", None))
         sig_energy = energy[:, :T_out]
         lsd_t = lsd_full[:, :T_out]
@@ -243,7 +259,12 @@ def batched_analysis(
         changes - C.TENSION_M_S
     )
     tension = c(tension, P("dp", None))
-    return tension[:B0] if B0 != B else tension
+    tension = tension[:B0] if B0 != B else tension
+    if pitch_geom is not None:
+        if periods is not None and B0 != B:
+            periods = periods[:B0]
+        return tension, periods
+    return tension
 
 
 def _plan_max_speed(global_speed: float, nonlinear_factor: float) -> float:
@@ -281,6 +302,7 @@ def _run_grid_engine(
     mesh: Optional[Mesh],
     xs_channels: Optional[jnp.ndarray] = None,
     gain: Optional[jnp.ndarray] = None,
+    period_grid: Optional[jnp.ndarray] = None,
 ) -> wsola.WsolaResult:
     """Dispatch the grid WSOLA engine, sharded over the mesh's 'dp' axis.
 
@@ -304,7 +326,7 @@ def _run_grid_engine(
         return wsola_fast._wsola_grid_batch(
             xs, lengths, speeds, minp, maxp, step, hop, gcap, K,
             xs_channels=xs_channels, max_speed_plan=max_speed_plan,
-            gain=gain, span_rows=span_rows,
+            gain=gain, span_rows=span_rows, period_grid=period_grid,
         )
     dp = mesh.shape["dp"]
     B = xs.shape[0]
@@ -329,11 +351,22 @@ def _run_grid_engine(
     has_gain = gain is not None
     if has_gain and pad:
         gain = jnp.concatenate([gain, jnp.zeros((pad,), gain.dtype)])
+    has_pg = period_grid is not None
+    if has_pg and pad:
+        # Padded rows are silent (valid 0); a harmless constant period.
+        period_grid = jnp.concatenate(
+            [period_grid,
+             jnp.full((pad, period_grid.shape[1]), float(minp),
+                      period_grid.dtype)]
+        )
     args = [xs, lengths, speeds]
     in_specs = [P("dp", None), P("dp"), P("dp", None)]
     if has_gain:
         args.append(gain)
         in_specs.append(P("dp"))
+    if has_pg:
+        args.append(period_grid)
+        in_specs.append(P("dp", None))
     if xs_channels is None:
         out_specs = wsola.WsolaResult(P("dp", None), P("dp"), P("dp"))
     else:
@@ -344,11 +377,12 @@ def _run_grid_engine(
     def body(x, l, s, *rest):
         rest = list(rest)
         g = rest.pop(0) if has_gain else None
+        pg = rest.pop(0) if has_pg else None
         return wsola_fast._wsola_grid_batch(
             x, l, s, minp, maxp, step, hop, gcap, K,
             xs_channels=rest.pop(0) if rest else None,
             max_speed_plan=max_speed_plan,
-            gain=g, span_rows=span_rows,
+            gain=g, span_rows=span_rows, period_grid=pg,
         )
 
     out = jax.shard_map(
@@ -437,7 +471,38 @@ def batched_nonlinear_speedup(
     if num_steps is not None:
         steps = num_steps
 
-    tension = batched_analysis(xs, cfg, T, mesh, gain=gain)
+    # Fused analysis+pitch front-end (single pass over xs for the
+    # pipeline's two full-input HBM streams): eligible when BOTH the
+    # analysis kernel and the pitch kernel would be the active paths —
+    # on TPU, or hermetically when both interpret forces are set.
+    pitch_geom = None
+    if engine == "grid":
+        from ..ops import pallas_kernels as _pk
+
+        on_tpu = jax.default_backend() == "tpu"
+        force_a = os.environ.get("SPEEDY_FORCE_ANALYSIS_KERNEL", "")
+        force_p = os.environ.get("SPEEDY_FORCE_PITCH_KERNEL", "")
+        active = on_tpu or (force_a == "interpret" and force_p == "interpret")
+        if (
+            active
+            and os.environ.get("SPEEDY_DISABLE_FUSED_FRONTEND") != "1"
+            and _pk._analysis_geometry(W, step) is not None
+        ):
+            hop0 = wsola_fast.plan_grid(cfg, L, min_speed_bound)[0]
+            taps = maxp
+            seg_w = taps + maxp
+            G = -(-max(3 * hop0, seg_w) // 128) * 128
+            M = wsola_fast._pitch_dft_size(max(seg_w, taps + maxp))
+            if (2 * (M // 2 + 1)) % 128 == 0:
+                pitch_geom = (taps, minp, maxp, G)
+
+    period_grid = None
+    if pitch_geom is not None:
+        tension, period_grid = batched_analysis(
+            xs, cfg, T, mesh, gain=gain, pitch_geom=pitch_geom
+        )
+    else:
+        tension = batched_analysis(xs, cfg, T, mesh, gain=gain)
     if tension.shape[1] == 0:
         # Entire batch shorter than the tension lookahead: every frame
         # drains at the requested speed (the shim's flush behavior).
@@ -486,6 +551,7 @@ def batched_nonlinear_speedup(
         out = _run_grid_engine(
             xs, lengths.astype(jnp.int32), speeds, minp, maxp, step, hop,
             gcap, K, max_speed_plan, mesh, gain=gain,
+            period_grid=period_grid,
         )
     else:
         if gain is not None:

@@ -511,3 +511,79 @@ def test_analysis_kernel_in_pipeline(monkeypatch):
     t_h = np.asarray(batched_analysis(xs, cfg, T, gain=g))
     np.testing.assert_allclose(t_h, t_x, atol=2e-2)
     assert np.abs(t_h - t_x).mean() < 1e-3
+
+
+def test_fused_frontend_matches_parts():
+    """The fused analysis+pitch front-end (pitch_geom on
+    analysis_energy_lsd_pallas) must return BITWISE-identical energy/lsd
+    to the pitch-free kernel (the analysis body is shared code; only the
+    chunk slab grows) and periods matching pitch_ssd_pallas up to the
+    documented argmin-tie class (row-split DFT + per-row prefix sums
+    reorder fp summation by ~2^-22)."""
+    rng = np.random.default_rng(0)
+    B, L = 2, 90000  # two chunks (F*step = 81280 at 16 kHz)
+    W, step = 240, 160
+    T = (L - W) // step + 1
+    taps, minp, maxp, G = 246, 40, 246, 512
+    x = (rng.standard_normal((B, L)) * 0.3).astype(np.float32)
+    t = np.arange(L) / 16000.0
+    x[0] = (0.5 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+    xj = jnp.asarray(x)
+    g = jnp.asarray([1.0, 0.8], jnp.float32)
+
+    e1, l1 = pk.analysis_energy_lsd_pallas(
+        xj, T, W, step, gain=g, interpret=True
+    )
+    e2, l2, per = pk.analysis_energy_lsd_pallas(
+        xj, T, W, step, gain=g, interpret=True,
+        pitch_geom=(taps, minp, maxp, G),
+    )
+    assert bool(jnp.all(e1 == e2)) and bool(jnp.all(l1 == l2))
+
+    seg_w = taps + maxp
+    n_grid = -(-(L + seg_w) // G)
+    assert per.shape == (B, n_grid)
+    n_cells = -(-n_grid // 64) * 64
+    xg = np.zeros((B, n_cells * G), np.float32)
+    xg[:, :L] = x
+    ref = pk.pitch_ssd_pallas(
+        jnp.asarray(xg.reshape(B, n_cells, G)), taps, minp, maxp,
+        interpret=True, gain=g,
+    )[:, :n_grid]
+    d = np.abs(np.asarray(ref) - np.asarray(per))
+    assert np.mean(d > 0.1) < 0.005, (d.max(), np.argwhere(d > 0.1)[:5])
+
+
+def test_fused_frontend_pipeline(monkeypatch):
+    """End-to-end: batched_nonlinear_speedup with the fused front-end
+    (both interpret forces set) vs SPEEDY_DISABLE_FUSED_FRONTEND=1 —
+    tension bitwise, valid lengths equal, output equal except for
+    flat-SSD plateau ties in near-silence cells (each flip perturbs a
+    bounded neighborhood; gated by fraction, not atol)."""
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.parallel import batch as pb
+
+    rng = np.random.default_rng(1)
+    cfg = SpeedyConfig(16000)
+    B, L = 2, 60000
+    x = (rng.standard_normal((B, L)) * 0.2).astype(np.float32)
+    t = np.arange(L) / 16000.0
+    x[0] = (
+        0.4 * np.sin(2 * np.pi * 140 * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
+    ).astype(np.float32)
+    lengths = jnp.asarray([L, L - 2000], jnp.int32)
+    xj = jnp.asarray(x)
+
+    monkeypatch.setenv("SPEEDY_FORCE_ANALYSIS_KERNEL", "interpret")
+    monkeypatch.setenv("SPEEDY_FORCE_PITCH_KERNEL", "interpret")
+    monkeypatch.setenv("SPEEDY_FORCE_FUSED_SYNTH", "interpret")
+    r1 = pb.batched_nonlinear_speedup(xj, lengths, cfg, 3.0, 1.0)
+    monkeypatch.setenv("SPEEDY_DISABLE_FUSED_FRONTEND", "1")
+    r2 = pb.batched_nonlinear_speedup(xj, lengths, cfg, 3.0, 1.0)
+
+    assert bool(jnp.all(r1.tension == r2.tension))
+    np.testing.assert_array_equal(
+        np.asarray(r1.valid_length), np.asarray(r2.valid_length)
+    )
+    d = np.abs(np.asarray(r1.output) - np.asarray(r2.output))
+    assert np.mean(d > 1e-3) < 0.02, (d.max(), np.mean(d > 1e-3))

@@ -91,9 +91,27 @@ def main():
         * np.clip(np.sin(2 * np.pi * 1.8 * t + 0.7), 0, None)
         * 0.2
     ).astype(np.float32)
-    families = np.stack([fam0, fam1, fam2, fam3])  # [4, L]
-    # Row b of every batch runs family b % 4 — each dispatched batch is
-    # heterogeneous; per-iteration amplitudes keep inputs distinct.
+    fams = [fam0, fam1, fam2, fam3]
+    # Fifth family: REAL recorded speech (the reference's tapestry.wav,
+    # 16 kHz, ~3.15 s, tiled to the 10 s bench length) — closes the
+    # "does the synthetic-family number generalize" question. Skipped
+    # with a note if the reference test data is absent.
+    tap_path = os.environ.get(
+        "SPEEDY_BENCH_SPEECH", "/root/reference/test_data/tapestry.wav"
+    )
+    if os.path.exists(tap_path):
+        from speedy_tpu.io import read_wave
+
+        tap, tap_sr = read_wave(tap_path)
+        assert tap_sr == sample_rate, (tap_sr, sample_rate)
+        tap = tap.astype(np.float32) / 32768.0
+        reps = -(-L // tap.shape[0])
+        fams.append(np.tile(tap, reps)[:L].astype(np.float32))
+    else:
+        print(f"bench: no real-speech family ({tap_path} absent)", file=sys.stderr)
+    families = np.stack(fams)  # [n_fam, L]
+    # Row b of every batch runs family b % n_fam — each dispatched batch
+    # is heterogeneous; per-iteration amplitudes keep inputs distinct.
     base_rows = families[np.arange(B) % len(families)]  # [B, L]
 
     # Always build the mesh — even at n_dev=1 — so the benchmarked program
@@ -207,7 +225,8 @@ def main():
             window_rates.append(B * seconds / (dt_total / iters))
         dt = best / iters
         print(
-            "window spread (audio-s/s, heterogeneous 4-family batch): "
+            f"window spread (audio-s/s, heterogeneous {len(families)}-family "
+            f"batch{', incl. real speech' if len(families) > 4 else ''}): "
             + ", ".join(f"{r:.0f}" for r in window_rates),
             file=sys.stderr,
         )

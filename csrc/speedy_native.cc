@@ -711,6 +711,23 @@ void sonicSpectrogramCallback(sonicStream st, spectrogramFunction fn) {
 void sonicNormalizedSpectrogramCallback(sonicStream st, spectrogramFunction fn) {
   st->on_normalized = fn;
 }
+/* Getters (sonic2.h:106-124; see the header note on the speed getter's
+ * reference-matching tensionFunction return type). */
+tensionFunction getSonicTensionCallback(sonicStream st) {
+  return st->on_tension;
+}
+tensionFunction getSonicSpeedCallback(sonicStream st) {
+  return (tensionFunction)st->on_speed;
+}
+featuresFunction getSonicFeaturesCallback(sonicStream st) {
+  return st->on_features;
+}
+spectrogramFunction getSonicSpectrogramCallback(sonicStream st) {
+  return st->on_spectrogram;
+}
+spectrogramFunction getSonicNormalizedSpectrogramCallback(sonicStream st) {
+  return st->on_normalized;
+}
 
 // Fire analysis/resynthesis for every trigger point reached
 // (soniclib.c:427-450 semantics: frame k is sent to speedy once

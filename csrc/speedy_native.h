@@ -106,6 +106,15 @@ void sonicFeaturesCallback(sonicStream stream, featuresFunction fn);
 void sonicSpectrogramCallback(sonicStream stream, spectrogramFunction fn);
 void sonicNormalizedSpectrogramCallback(sonicStream stream,
                                         spectrogramFunction fn);
+/* Callback getters (sonic2.h:106-124). getSonicSpeedCallback returns
+ * tensionFunction — not speedFunction — matching the reference header's
+ * declaration verbatim for drop-in source parity (the two function types
+ * share a signature, so the value is the registered speed callback). */
+tensionFunction getSonicTensionCallback(sonicStream stream);
+tensionFunction getSonicSpeedCallback(sonicStream stream);
+featuresFunction getSonicFeaturesCallback(sonicStream stream);
+spectrogramFunction getSonicSpectrogramCallback(sonicStream stream);
+spectrogramFunction getSonicNormalizedSpectrogramCallback(sonicStream stream);
 
 /* ------------------------------------------------------------------ */
 /* WAV I/O (replacement for the external wave.h, component C20)        */

@@ -98,6 +98,19 @@ def load() -> ctypes.CDLL:
         ctypes.c_void_p,
         _SPECTROGRAM_CB,
     ]
+    # Callback getters (sonic2.h:106-124). Typed c_void_p here: the tests
+    # compare registered-vs-returned pointer identity; invoking through
+    # the typed CFUNCTYPE wrappers is the setter path's job.
+    for g in (
+        "getSonicTensionCallback",
+        "getSonicSpeedCallback",
+        "getSonicFeaturesCallback",
+        "getSonicSpectrogramCallback",
+        "getSonicNormalizedSpectrogramCallback",
+    ):
+        fn = getattr(lib, g)
+        fn.restype = ctypes.c_void_p
+        fn.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 

@@ -131,6 +131,7 @@ class DynamicTimeWarping:
         self.dimension = dimension
         self.distance = distance
         self._dirs = None
+        self._cost = None
 
     def compute(self, sequence1, sequence2) -> float:
         a = np.asarray(sequence1, np.float32)
@@ -144,12 +145,31 @@ class DynamicTimeWarping:
             )
         total, acc = accumulate(cost)
         self._dirs = np.asarray(directions(cost, acc))
+        self._cost = np.asarray(cost)
         return float(total)
 
     def best_path_sequence(self, sequence1=None, sequence2=None):
         assert self._dirs is not None, "call compute() first"
         return best_path(self._dirs)
 
+    def display_debug_information(self, sequence1=None, sequence2=None, file=None):
+        """Print the cost and direction matrices, mirroring the reference's
+        DisplayDebugInformation (dynamic_time_warping.cc:134-154): one
+        width-3 column per cell, row-major. The sequence arguments are
+        accepted for signature parity but unused (like the reference,
+        which only reads the stored matrices)."""
+        import sys
+
+        out = file if file is not None else sys.stdout
+        assert self._dirs is not None, "call compute() first"
+        print("Cost matrix:", file=out)
+        for row in self._cost:
+            print("".join(f"{v:3g} " for v in row), file=out)
+        print("Directions matrix:", file=out)
+        for row in self._dirs:
+            print("".join(f"{int(v):3d} " for v in row), file=out)
+
     # C-style aliases for parity with the reference naming.
     Compute = compute
     BestPathSequence = best_path_sequence
+    DisplayDebugInformation = display_debug_information

@@ -28,6 +28,34 @@ from jax.experimental.pallas import tpu as pltpu
 _ALIGN = 1024  # 1D f32 HBM tiling on v5e
 
 
+def _bf16_trunc_split(x, terms):
+    """Fold-proof split of f32 `x` into `terms` bf16 factors summing to x.
+
+    The convert-based split (h = bf16(x); l = bf16(x - f32(h))) is folded
+    by XLA:CPU's simplifier — ext(truncf(x)) -> x — back to 1-pass bf16,
+    which silently degraded every interpret-mode run of these kernels
+    (Mosaic on hardware does NOT fold it; probe:
+    experiments/bf16_split_probe.py — conv split hw 5.1e-6 / interpret
+    3.1e-3 max rel, truncation split 1.43e-5 ~= 2^-16 in BOTH modes).
+    Truncation via integer masking cannot be fp-simplified, and each
+    truncated head has only the top 8 mantissa bits set, so its bf16
+    convert is lossless in both modes. With terms=3 the residual after
+    two truncations has <= 8 significant bits, so the split is exactly
+    reconstructive: x == sum(f32(t) for t in split) bit-for-bit.
+    """
+    out = []
+    r = x
+    for _ in range(terms - 1):
+        u = jax.lax.bitcast_convert_type(r, jnp.uint32)
+        h = jax.lax.bitcast_convert_type(
+            u & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+        out.append(h.astype(jnp.bfloat16))
+        r = r - h
+    out.append(r.astype(jnp.bfloat16))
+    return out
+
+
 def _gather_rows_kernel(
     width,
     rows_per_block,
@@ -466,16 +494,14 @@ def _gather_synth_kernel(
                 q8c = q8col[sb * CH : (sb + 1) * CH]
                 # Exact selection in THREE bf16 passes instead of f32
                 # HIGHEST's six: the one-hot is 0/1 (bf16-exact) and the
-                # f32 values split losslessly into three rounded bf16
-                # terms (24 = 3x8 significand bits; verified exhaustively
-                # — each pass selects one term exactly, and the f32 sum
-                # of the disjoint-range terms reconstructs the value
-                # bit-for-bit).
+                # f32 values split losslessly into three bf16 terms
+                # (24 = 3x8 significand bits) — each pass selects one
+                # term exactly, and the f32 sum of the disjoint-range
+                # terms reconstructs the value bit-for-bit. Truncation
+                # split: fold-proof in interpret mode too (see
+                # _bf16_trunc_split).
                 onehot = (iota_sub == q8c).astype(jnp.bfloat16)
-                v_h = spw.astype(jnp.bfloat16)
-                r_1 = spw - v_h.astype(dt)
-                v_l = r_1.astype(jnp.bfloat16)
-                v_ll = (r_1 - v_l.astype(dt)).astype(jnp.bfloat16)
+                v_h, v_l, v_ll = _bf16_trunc_split(spw, 3)
                 sel = lambda m: jnp.dot(
                     onehot, m, preferred_element_type=dt
                 )
@@ -1387,17 +1413,15 @@ def _analysis_kernel(
     # Mosaic exposes only DEFAULT/HIGHEST dot precisions; HIGH (XLA's
     # 3-pass bf16 split, the analysis default — see dft.analysis_precision)
     # is implemented manually: A@B ~= Ah@Bh + Ah@Bl + Al@Bh with
-    # X = Xh + Xl, Xh = bf16(X). The E split happens ONCE per program
+    # X = Xh + Xl, Xh = trunc16(X) (fold-proof truncation split — see
+    # _bf16_trunc_split). The E split happens ONCE per program
     # (constant across the chunk loop).
     if prec == "high":
-        E_f = E_ref[...]
-        E_h = E_f.astype(jnp.bfloat16)
-        E_l = (E_f - E_h.astype(dt)).astype(jnp.bfloat16)
+        E_h, E_l = _bf16_trunc_split(E_ref[...], 2)
 
         def dft_dot(FW, t):
             sl = slice(t * 128, (t + 1) * 128)
-            fh = FW.astype(jnp.bfloat16)
-            fl = (FW - fh.astype(dt)).astype(jnp.bfloat16)
+            fh, fl = _bf16_trunc_split(FW, 2)
             d = lambda a, m: jnp.dot(a, m, preferred_element_type=dt)
             return d(fh, E_h[sl]) + d(fh, E_l[sl]) + d(fl, E_h[sl])
 
@@ -1618,7 +1642,10 @@ def _analysis_kernel(
                     continue
                 a_ = pltpu.roll(cums[rr], 128 - off, 1)
                 b_ = pltpu.roll(
-                    cums[rr + 1] if rr + 1 < RC else cums[0], 128 - off, 1
+                    cums[rr + 1]
+                    if rr + 1 < RC
+                    else jnp.zeros((CPC, 128), dt),
+                    128 - off, 1,
                 )
                 tiles.append(jnp.where(lane_c < 128 - off, a_, b_))
             return jnp.concatenate(tiles, axis=1)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 from typing import List, NamedTuple, Optional, Sequence
 
 import jax
@@ -267,6 +268,39 @@ def batched_analysis(
     return tension
 
 
+def _fused_pitch_geom(cfg, L, minp, maxp, min_speed_bound):
+    """Eligibility + geometry for the fused analysis+pitch front-end
+    (single pass over xs for the pipeline's two full-input HBM streams).
+
+    Eligible when BOTH the analysis kernel and the pitch kernel would be
+    the active paths — on TPU, or hermetically when both interpret forces
+    are set — the analysis lattice supports (W, step), and the pitch DFT
+    size is lane-aligned. Returns the static (taps, minp, maxp, G) tuple
+    for analysis_energy_lsd_pallas, or None. Shared by the mono and
+    multichannel batch steps (the multichannel engine's pitch already
+    runs on the mono mixdown, soniclib.c:262-287, so a mono-derived
+    period grid is exactly the fused equivalent)."""
+    from ..ops import pallas_kernels as _pk
+
+    W, step = cfg.window_size, cfg.frame_step_int
+    on_tpu = jax.default_backend() == "tpu"
+    force_a = os.environ.get("SPEEDY_FORCE_ANALYSIS_KERNEL", "")
+    force_p = os.environ.get("SPEEDY_FORCE_PITCH_KERNEL", "")
+    active = on_tpu or (force_a == "interpret" and force_p == "interpret")
+    if not active or os.environ.get("SPEEDY_DISABLE_FUSED_FRONTEND") == "1":
+        return None
+    if _pk._analysis_geometry(W, step) is None:
+        return None
+    hop0 = wsola_fast.plan_grid(cfg, L, min_speed_bound)[0]
+    taps = maxp
+    seg_w = taps + maxp
+    G = -(-max(3 * hop0, seg_w) // 128) * 128
+    M = wsola_fast._pitch_dft_size(max(seg_w, taps + maxp))
+    if (2 * (M // 2 + 1)) % 128 != 0:
+        return None
+    return (taps, minp, maxp, G)
+
+
 def _plan_max_speed(global_speed: float, nonlinear_factor: float) -> float:
     """Planner ceiling on instantaneous speed (the analog of
     min_speed_bound): sizes the block-span gather's static span width and
@@ -471,30 +505,9 @@ def batched_nonlinear_speedup(
     if num_steps is not None:
         steps = num_steps
 
-    # Fused analysis+pitch front-end (single pass over xs for the
-    # pipeline's two full-input HBM streams): eligible when BOTH the
-    # analysis kernel and the pitch kernel would be the active paths —
-    # on TPU, or hermetically when both interpret forces are set.
     pitch_geom = None
     if engine == "grid":
-        from ..ops import pallas_kernels as _pk
-
-        on_tpu = jax.default_backend() == "tpu"
-        force_a = os.environ.get("SPEEDY_FORCE_ANALYSIS_KERNEL", "")
-        force_p = os.environ.get("SPEEDY_FORCE_PITCH_KERNEL", "")
-        active = on_tpu or (force_a == "interpret" and force_p == "interpret")
-        if (
-            active
-            and os.environ.get("SPEEDY_DISABLE_FUSED_FRONTEND") != "1"
-            and _pk._analysis_geometry(W, step) is not None
-        ):
-            hop0 = wsola_fast.plan_grid(cfg, L, min_speed_bound)[0]
-            taps = maxp
-            seg_w = taps + maxp
-            G = -(-max(3 * hop0, seg_w) // 128) * 128
-            M = wsola_fast._pitch_dft_size(max(seg_w, taps + maxp))
-            if (2 * (M // 2 + 1)) % 128 == 0:
-                pitch_geom = (taps, minp, maxp, G)
+        pitch_geom = _fused_pitch_geom(cfg, L, minp, maxp, min_speed_bound)
 
     period_grid = None
     if pitch_geom is not None:
@@ -630,7 +643,14 @@ def batched_nonlinear_speedup_multichannel(
         min_speed_bound = 1.0 if global_speed >= 1.0 else max(C_MIN, 0.3 * global_speed)
     minp, maxp, _, _ = wsola.plan(cfg, L, min_speed_bound)
 
-    tension = batched_analysis(mono, cfg, T, mesh, gain=gain)
+    pitch_geom = _fused_pitch_geom(cfg, L, minp, maxp, min_speed_bound)
+    period_grid = None
+    if pitch_geom is not None:
+        tension, period_grid = batched_analysis(
+            mono, cfg, T, mesh, gain=gain, pitch_geom=pitch_geom
+        )
+    else:
+        tension = batched_analysis(mono, cfg, T, mesh, gain=gain)
     if tension.shape[1] == 0:
         speeds = jnp.full((B, 1), global_speed, mono.dtype)
     elif global_speed > 1.0:
@@ -672,6 +692,7 @@ def batched_nonlinear_speedup_multichannel(
         mesh,
         xs_channels=jnp.transpose(xs, (0, 2, 1)),
         gain=gain,
+        period_grid=period_grid,
     )
     return BatchResult(out.output, out.valid_length, tension, speeds)
 
@@ -697,6 +718,7 @@ class CorpusEngine:
         use_mesh: bool = False,
         tp: int = 1,
         capacity_factor: Optional[float] = None,
+        long_utterance_samples: int = 1 << 19,
     ):
         self.cfg = cfg
         self.global_speed = float(global_speed)
@@ -710,6 +732,22 @@ class CorpusEngine:
         # valid_length == capacity; CorpusEngine retries those with the
         # worst-case plan so results are always complete.
         self.capacity_factor = capacity_factor
+        # Utterances longer than this bypass the batch engine entirely
+        # and run through the O(1)-state device streaming pipeline: the
+        # batched engine's output clock is an f32 cumsum (drift ~sqrt(F)
+        # ulps) and its time map is O(K*F), so minutes-long files belong
+        # to streaming, not ever-doubling padded buckets. 2^19 samples =
+        # ~33 s at 16 kHz.
+        self.long_utterance_samples = int(long_utterance_samples)
+        # Observability (reset per process() call): batches dispatched,
+        # utterances that hit the rate-derived cap and were retried,
+        # retry batches dispatched, utterances routed to streaming.
+        self.stats = {
+            "batches": 0,
+            "capacity_retries": 0,
+            "retry_batches": 0,
+            "streamed_long": 0,
+        }
 
     @staticmethod
     def _bucket_length(n: int) -> int:
@@ -718,11 +756,64 @@ class CorpusEngine:
             b *= 2
         return b
 
+    @staticmethod
+    def _to_float(u: np.ndarray) -> np.ndarray:
+        u = np.asarray(u)
+        if u.dtype == np.int16:
+            u = u.astype(np.float32) / 32768.0
+        return u.astype(np.float32)
+
+    def _process_streaming(self, u: np.ndarray) -> np.ndarray:
+        from ..streaming_device import DeviceStreamingPipeline
+
+        pipe = DeviceStreamingPipeline(
+            self.cfg,
+            self.global_speed,
+            self.nonlinear_factor,
+            self.feedback,
+        )
+        head = pipe.feed(self._to_float(u))
+        tail = pipe.flush()
+        return np.concatenate([head, tail])
+
+    def _run_bucket(self, xs, lengths, capacity_factor):
+        step_fn = compile_batch_step(
+            self.cfg,
+            xs.shape[0],
+            xs.shape[1],
+            self.global_speed,
+            self.nonlinear_factor,
+            self.feedback,
+            None,
+            self.use_mesh,
+            self.tp,
+            capacity_factor,
+        )
+        out = step_fn(jnp.asarray(xs), jnp.asarray(lengths))
+        return np.asarray(out.output), np.asarray(out.valid_length)
+
     def process(self, utterances: Sequence[np.ndarray]) -> List[np.ndarray]:
-        order = np.argsort([len(u) for u in utterances])
+        for k in self.stats:
+            self.stats[k] = 0
         results: List[Optional[np.ndarray]] = [None] * len(utterances)
-        i = 0
-        while i < len(order):
+
+        # Very long utterances -> streaming pipeline (bounded memory, no
+        # padded power-of-two bucket, exact-seam continuation engine).
+        batched_idx = []
+        for j, u in enumerate(utterances):
+            if len(u) > self.long_utterance_samples:
+                results[j] = self._process_streaming(u)
+                self.stats["streamed_long"] += 1
+            else:
+                batched_idx.append(j)
+
+        order = sorted(batched_idx, key=lambda j: len(utterances[j]))
+        # (bucket_L) -> list of (result index, padded row, length): inputs
+        # whose rate-derived capacity truncated, re-run BATCHED under the
+        # worst-case plan after the main sweep (round-2 retried at B=1
+        # per utterance — a tension-saturated corpus degraded quietly).
+        retry: dict = {}
+        for i in range(0, len(order), self.batch_size):
             idxs = order[i : i + self.batch_size]
             batch = [utterances[j] for j in idxs]
             L = self._bucket_length(max(len(u) for u in batch))
@@ -730,47 +821,35 @@ class CorpusEngine:
             xs = np.zeros((B, L), np.float32)
             lengths = np.zeros((B,), np.int32)
             for k, u in enumerate(batch):
-                u = np.asarray(u)
-                if u.dtype == np.int16:
-                    u = u.astype(np.float32) / 32768.0
+                u = self._to_float(u)
                 xs[k, : len(u)] = u
                 lengths[k] = len(u)
-            step_fn = compile_batch_step(
-                self.cfg,
-                B,
-                L,
-                self.global_speed,
-                self.nonlinear_factor,
-                self.feedback,
-                None,
-                self.use_mesh,
-                self.tp,
-                self.capacity_factor,
-            )
-            out = step_fn(jnp.asarray(xs), jnp.asarray(lengths))
-            valid = np.asarray(out.valid_length)
-            y = np.asarray(out.output)
+            y, valid = self._run_bucket(xs, lengths, self.capacity_factor)
+            self.stats["batches"] += 1
             for k, j in enumerate(idxs):
-                if (
-                    self.capacity_factor is not None
-                    and valid[k] >= y.shape[1]
-                ):
-                    # Rate-derived capacity truncated this utterance
-                    # (valid_length hit the cap): redo it under the
-                    # worst-case plan so the caller always gets complete
-                    # audio — the slow path only ever sees pathological
-                    # (tension-saturated) inputs.
-                    fb = compile_batch_step(
-                        self.cfg, 1, L, self.global_speed,
-                        self.nonlinear_factor, self.feedback, None,
-                        self.use_mesh, self.tp, None,
-                    )
-                    o2 = fb(jnp.asarray(xs[k : k + 1]),
-                            jnp.asarray(lengths[k : k + 1]))
-                    results[j] = np.asarray(o2.output)[
-                        0, : int(np.asarray(o2.valid_length)[0])
-                    ]
+                if self.capacity_factor is not None and valid[k] >= y.shape[1]:
+                    retry.setdefault(L, []).append((j, xs[k], lengths[k]))
                 else:
                     results[j] = y[k, : valid[k]]
-            i += self.batch_size
+
+        if retry:
+            n_retry = sum(len(v) for v in retry.values())
+            self.stats["capacity_retries"] = n_retry
+            warnings.warn(
+                f"CorpusEngine: {n_retry} utterance(s) hit the rate-derived "
+                f"output cap (capacity_factor={self.capacity_factor}) and were "
+                "re-run under the worst-case plan; raise capacity_factor if "
+                "this is common in your corpus",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        for L, items in retry.items():
+            for i in range(0, len(items), self.batch_size):
+                chunk = items[i : i + self.batch_size]
+                xs = np.stack([row for _, row, _ in chunk])
+                lengths = np.asarray([n for _, _, n in chunk], np.int32)
+                y, valid = self._run_bucket(xs, lengths, None)
+                self.stats["retry_batches"] += 1
+                for k, (j, _, _) in enumerate(chunk):
+                    results[j] = y[k, : valid[k]]
         return results  # type: ignore

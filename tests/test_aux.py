@@ -172,6 +172,56 @@ def test_paper_mode_end_to_end():
     assert np.all(np.isfinite(np.asarray(res.tension)))
 
 
+def test_paper_mode_tension_vs_reference_oracle(tmp_path):
+    """Tension-level paper-mode gate: the shipped reference library builds
+    WITHOUT MATCH_MATLAB (hysteresis 12/8, Makefile:13) but its tests pin
+    the Matlab configuration — so paper mode has no golden dump. Build the
+    reference itself in paper mode (the exact-DFT oracle recipe,
+    tools/oracle/) and hold our match_matlab=False analysis to it."""
+    import os
+    import shutil
+    import subprocess
+
+    if shutil.which("gcc") is None:
+        pytest.skip("no C toolchain")
+    if not os.path.exists("/root/reference/speedy.c"):
+        pytest.skip("reference not available")
+    if not testutil.have_test_data():
+        pytest.skip("no test data")
+    import pathlib
+
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.ops.analysis import analyze_jit
+
+    oracle_dir = pathlib.Path(__file__).resolve().parent.parent / "tools" / "oracle"
+    exe = tmp_path / "oracle_paper"
+    subprocess.run(
+        [
+            "gcc", "-O2", "-DKISS_FFT",  # no -DMATCH_MATLAB: paper mode
+            "-I", str(oracle_dir), "-I", "/root/reference",
+            str(oracle_dir / "driver.c"), "/root/reference/speedy.c",
+            "-o", str(exe), "-lm",
+        ],
+        check=True, capture_output=True,
+    )
+    samples, sr = testutil.load_wave("tapestry22050.wav")
+    x = (samples.astype(np.float32) / 32768.0).astype(np.float32)
+    raw = tmp_path / "tap.f32"
+    x.tofile(raw)
+    feat_p = tmp_path / "feat.txt"
+    subprocess.run(
+        [str(exe), str(raw), str(sr), str(feat_p), str(tmp_path / "spec.txt")],
+        check=True, capture_output=True,
+    )
+    feat = np.loadtxt(feat_p)
+    cfg = SpeedyConfig(sr, match_matlab=False)
+    res = analyze_jit(x, cfg)
+    t_ours = np.asarray(res.tension)
+    t_oracle = feat[:, -1]
+    assert t_ours.shape == t_oracle.shape == (302,)  # 314 - 12 lookahead
+    np.testing.assert_allclose(t_ours, t_oracle, atol=2e-5)
+
+
 def test_streaming_latency_contract():
     """First output appears once the analysis lookahead is satisfied:
     the shim needs (future+2) frames buffered (kMinBufferSize contract,

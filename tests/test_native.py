@@ -290,3 +290,47 @@ def test_native_whitebox_surface(lib):
     assert abs(e - 2.0) < 1e-7
     np.testing.assert_allclose(outp, [0, 0, 0.7071068, 0, 0.7071068], atol=1e-6)
     lib.speedyDestroyStream(st)
+
+
+def test_native_callback_getters(lib):
+    """The five getSonic*Callback getters (sonic2.h:106-124): NULL before
+    registration, pointer-identical to the registered callback after, and
+    NULL again after clearing."""
+    import ctypes
+
+    from speedy_tpu.native import (
+        _FEATURES_CB,
+        _SPECTROGRAM_CB,
+        _SPEED_CB,
+        _TENSION_CB,
+    )
+
+    st = lib.sonicCreateStream(16000, 1)
+    pairs = [
+        (lib.sonicTensionCallback, lib.getSonicTensionCallback, _TENSION_CB),
+        (lib.sonicSpeedCallback, lib.getSonicSpeedCallback, _SPEED_CB),
+        (lib.sonicFeaturesCallback, lib.getSonicFeaturesCallback, _FEATURES_CB),
+        (
+            lib.sonicSpectrogramCallback,
+            lib.getSonicSpectrogramCallback,
+            _SPECTROGRAM_CB,
+        ),
+        (
+            lib.sonicNormalizedSpectrogramCallback,
+            lib.getSonicNormalizedSpectrogramCallback,
+            _SPECTROGRAM_CB,
+        ),
+    ]
+    cbs = []
+    for setter, getter, cbty in pairs:
+        assert getter(st) is None
+        cb = cbty(lambda *a: None)
+        cbs.append(cb)  # keep alive
+        setter(st, cb)
+        got = getter(st)
+        want = ctypes.cast(cb, ctypes.c_void_p).value
+        assert got == want, (getter.__name__, got, want)
+    for setter, getter, cbty in pairs:
+        setter(st, cbty(0))
+        assert getter(st) is None
+    lib.sonicDestroyStream(st)

@@ -9,6 +9,8 @@ import pytest
 
 from speedy_tpu.ops.pallas_kernels import gather_rows, gather_rows_reference
 
+import testutil
+
 
 def test_gather_rows_fallback_matches_reference():
     rng = np.random.default_rng(0)
@@ -177,6 +179,112 @@ def test_streaming_device_pipeline_on_tpu():
     n = min(len(y), v)
     d = np.abs(y[:n] - np.asarray(ref.output[0, :n]))
     assert d.max() < 5e-3 and d.mean() < 1e-4, (d.max(), d.mean())
+
+
+def _analysis_tpu_batch(B=4, L=48000):
+    """Realistic mixed batch for the analysis-kernel hardware gates:
+    voiced speechlike, noise, bursty, chirp — the bench's family mix."""
+    rng = np.random.default_rng(13)
+    t = np.arange(L) / 16000.0
+    f0 = 120.0 + 40.0 * np.sin(2 * np.pi * 0.6 * t)
+    voiced = sum(
+        np.sin(k * np.cumsum(2 * np.pi * f0 / 16000.0)) / k for k in range(1, 5)
+    ) * np.clip(np.sin(2 * np.pi * 2.2 * t), 0, None)
+    noise = rng.standard_normal(L) * 0.08
+    bursty = np.zeros(L)
+    bursty[6000:26000] = voiced[:20000]
+    chirp = np.sin(2 * np.pi * (80 + 400 * t) * t) * 0.3
+    x = np.stack([voiced * 0.3, noise, bursty * 0.4, chirp]).astype(np.float32)
+    return x[:B]
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_analysis_kernel_on_tpu():
+    """The fused analysis front-end's Mosaic lowering (strided-slice
+    window extraction, lane rolls with row carry, manual 3-pass bf16
+    HIGH split, masked log-ratio) must match interpret mode on hardware.
+    The HIGH split is the fold-proof truncation form (_bf16_trunc_split),
+    so both modes run the same math and agree to summation-order noise
+    (probe: experiments/analysis_hw_vs_interp.py — max rel 3.6e-7 at
+    HIGH, 5.4e-7 at HIGHEST on the 4-family batch)."""
+    from speedy_tpu.ops.pallas_kernels import analysis_energy_lsd_pallas
+
+    x = jnp.asarray(_analysis_tpu_batch())
+    W, step = 240, 160
+    T = (x.shape[1] - W) // step + 1
+    g = jnp.asarray([1.0, 0.7, 1.3, 0.9], jnp.float32)
+    for prec in ("high", "highest"):
+        e_hw, l_hw = analysis_energy_lsd_pallas(
+            x, T, W, step, gain=g, precision=prec
+        )
+        e_it, l_it = analysis_energy_lsd_pallas(
+            x, T, W, step, gain=g, precision=prec, interpret=True
+        )
+        e_hw, l_hw, e_it, l_it = map(np.asarray, (e_hw, l_hw, e_it, l_it))
+        np.testing.assert_allclose(e_hw, e_it, rtol=2e-6, atol=1e-3)
+        # lsd[:, 0] is DON'T-CARE (zeroed by the skip gate downstream).
+        dl = np.abs(l_hw[:, 1:] - l_it[:, 1:])
+        assert dl.max() < 1e-3, (prec, dl.max())
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_fused_frontend_on_tpu():
+    """The fused analysis+pitch variant on hardware: energy/lsd must be
+    BITWISE what the pitch-free kernel computes (shared analysis body;
+    pitch only grows the chunk slab), and periods must match
+    pitch_ssd_pallas' hardware output up to the documented near-silence
+    argmin-tie class (same gate as test_pitch_ssd_kernel_on_tpu)."""
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.ops.pallas_kernels import (
+        analysis_energy_lsd_pallas,
+        pitch_ssd_pallas,
+    )
+    from speedy_tpu.ops import wsola_fast
+
+    cfg = SpeedyConfig(16000)
+    x = jnp.asarray(_analysis_tpu_batch())
+    B, L = x.shape
+    W, step = cfg.window_size, cfg.frame_step_int
+    T = (L - W) // step + 1
+    taps = maxp = cfg.wsola_max_period
+    minp = cfg.wsola_min_period
+    seg_w = taps + maxp
+    G = -(-seg_w // 128) * 128
+    g = jnp.asarray([1.0, 0.7, 1.3, 0.9], jnp.float32)
+
+    e1, l1 = analysis_energy_lsd_pallas(x, T, W, step, gain=g, precision="high")
+    e2, l2, per = analysis_energy_lsd_pallas(
+        x, T, W, step, gain=g, precision="high",
+        pitch_geom=(taps, minp, maxp, G),
+    )
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    n_grid = -(-(L + seg_w) // G)
+    assert per.shape == (B, n_grid)
+    n_cells = -(-n_grid // 64) * 64
+    xg = np.zeros((B, n_cells * G), np.float32)
+    xg[:, :L] = np.asarray(x)
+    ref = np.asarray(
+        pitch_ssd_pallas(
+            jnp.asarray(xg.reshape(B, n_cells, G)), taps, minp, maxp, gain=g
+        )
+    )[:, :n_grid]
+    per = np.asarray(per)
+    # Strongly-voiced cells (template carries signal): any integer flip
+    # must be a genuine float64 SSD tie (the two paths reorder summation
+    # by ~2^-22); non-flip cells agree to sub-sample refinement noise.
+    # Near-silent templates have contrast-free SSDs whose ties flip
+    # freely (absorbed by phase snapping) and are not gated.
+    segs = xg.reshape(B, n_cells, G)[:, :n_grid]
+    tmpl = segs[..., :taps] * np.asarray(g)[:, None, None]
+    voiced = np.sqrt((tmpl**2).mean(axis=2)) > 1e-2
+    assert voiced.mean() > 0.3
+    testutil.assert_period_flips_are_ties(
+        segs, per, ref, taps, minp, maxp, mask=voiced
+    )
+    agree = voiced & (np.abs(per - ref) <= 0.5)
+    np.testing.assert_allclose(per[agree], ref[agree], rtol=0, atol=5e-2)
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")

@@ -17,6 +17,8 @@ from jax.experimental import pallas as pl
 
 import speedy_tpu.ops.pallas_kernels as pk
 
+import testutil
+
 
 @pytest.fixture()
 def interpret_pallas(monkeypatch):
@@ -557,11 +559,22 @@ def test_fused_frontend_matches_parts():
 def test_fused_frontend_pipeline(monkeypatch):
     """End-to-end: batched_nonlinear_speedup with the fused front-end
     (both interpret forces set) vs SPEEDY_DISABLE_FUSED_FRONTEND=1 —
-    tension bitwise, valid lengths equal, output equal except for
-    flat-SSD plateau ties in near-silence cells (each flip perturbs a
-    bounded neighborhood; gated by fraction, not atol)."""
+    tension bitwise, valid lengths equal, and every output difference
+    ATTRIBUTED to a period-grid difference (the two pitch paths reorder
+    fp summation by ~2^-22; a half-integer snap ratio can then flip the
+    phase-snap rounding, perturbing a bounded output neighborhood).
+    Gates: (a) every voiced integer period flip is PROVEN a genuine SSD
+    near-tie by a float64 recomputation of the objective at both chosen
+    lags (probe experiments/fused_pitch_voiced_flips.py found exact
+    ties; a real pitch regression — one path picking a worse lag —
+    fails here); (b) each output-diff sample maps (through the speed
+    time map) into the neighborhood of a cell whose periods differ — a
+    synth/gain regression producing diffs away from period flips fails
+    here; (c) the total diff fraction stays small."""
     from speedy_tpu.config import SpeedyConfig
     from speedy_tpu.parallel import batch as pb
+    from speedy_tpu.ops import wsola as ow
+    from speedy_tpu.ops import wsola_fast as wf
 
     rng = np.random.default_rng(1)
     cfg = SpeedyConfig(16000)
@@ -585,5 +598,122 @@ def test_fused_frontend_pipeline(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(r1.valid_length), np.asarray(r2.valid_length)
     )
-    d = np.abs(np.asarray(r1.output) - np.asarray(r2.output))
+
+    # Reconstruct the two period grids at the pipeline's exact geometry.
+    monkeypatch.setenv("SPEEDY_DISABLE_FUSED_FRONTEND", "")
+    minp, maxp, _, _ = ow.plan(cfg, L, 1.0)
+    geom = pb._fused_pitch_geom(cfg, L, minp, maxp, 1.0)
+    assert geom is not None
+    taps, minp_g, maxp_g, G = geom
+    T = cfg.num_frames(L, integer_step=True)
+    _, pg_fused = pb.batched_analysis(xj, cfg, T, pitch_geom=geom)
+    pg_fused = np.asarray(pg_fused)
+    seg_w = taps + maxp_g
+    n_grid = pg_fused.shape[1]
+    n_cells = -(-n_grid // 64) * 64
+    xg = np.zeros((B, n_cells * G), np.float32)
+    xg[:, :L] = x
+    pg_std = np.asarray(
+        pk.pitch_ssd_pallas(
+            jnp.asarray(xg.reshape(B, n_cells, G)), taps, minp_g, maxp_g,
+            interpret=True,
+        )
+    )[:, :n_grid]
+    dper = np.abs(pg_fused - pg_std)
+
+    # (a) Every voiced integer flip must be a genuine SSD near-tie.
+    segs = xg.reshape(B, n_cells, G)[:, :n_grid]
+    tmpl = segs[..., :taps]
+    voiced = np.sqrt((tmpl**2).mean(axis=2)) > 1e-2
+    assert voiced.mean() > 0.5
+    testutil.assert_period_flips_are_ties(
+        segs, pg_fused, pg_std, taps, minp_g, maxp_g, mask=voiced
+    )
+
+    # (b) Attribute every output diff to a differing-period cell through
+    # the time map: source frame f plays at output time o(f) = sum step/s.
+    speeds = np.asarray(r1.speeds)
+    step = cfg.frame_step_int
+    hop = wf.plan_grid(cfg, L, 1.0)[0]
+    margin = G + seg_w + 2 * maxp_g + hop  # source-sample slack
+    y1, y2 = np.asarray(r1.output), np.asarray(r2.output)
+    vl = np.asarray(r1.valid_length)
+    total, diffs = 0, 0
+    for b in range(B):
+        d = np.abs(y1[b, : vl[b]] - y2[b, : vl[b]])
+        bad = np.flatnonzero(d > 1e-3)
+        total += vl[b]
+        diffs += bad.size
+        if bad.size == 0:
+            continue
+        o_of_f = np.concatenate(
+            [[0.0], np.cumsum(step / speeds[b])]
+        )  # output samples at each source frame boundary
+        src_of_bad = (
+            np.searchsorted(o_of_f, bad.astype(np.float64)) * step
+        )
+        flip_cells = np.flatnonzero(dper[b] > 0)
+        assert flip_cells.size, "output diff with bitwise-equal periods"
+        cell_centers = flip_cells * G + G / 2
+        near = np.min(
+            np.abs(src_of_bad[:, None] - cell_centers[None, :]), axis=1
+        )
+        assert near.max() <= margin, (
+            "unattributed output diff",
+            near.max(),
+            margin,
+        )
+    assert diffs / max(total, 1) < 0.02, diffs / total
+
+
+def test_fused_frontend_multichannel(monkeypatch):
+    """The multichannel batch step takes the fused front-end too (round-3
+    fix: stereo serving previously paid the second full-input HBM stream
+    the mono path had eliminated). Identical-channel stereo must match
+    the mono fused path exactly, and fused-vs-disabled must agree on
+    tension bitwise and lengths exactly (period tie flips are absorbed
+    the same way as in the mono gate above)."""
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.parallel import batch as pb
+
+    rng = np.random.default_rng(5)
+    cfg = SpeedyConfig(16000)
+    B, L = 2, 40000
+    t = np.arange(L) / 16000.0
+    x = np.stack(
+        [
+            0.4 * np.sin(2 * np.pi * 150 * t).astype(np.float32),
+            (rng.standard_normal(L) * 0.15).astype(np.float32),
+        ]
+    ).astype(np.float32)
+    lengths = jnp.asarray([L, L - 1500], jnp.int32)
+    st = jnp.asarray(np.stack([x, x], axis=-1))  # [B, L, 2] identical
+
+    monkeypatch.setenv("SPEEDY_FORCE_ANALYSIS_KERNEL", "interpret")
+    monkeypatch.setenv("SPEEDY_FORCE_PITCH_KERNEL", "interpret")
+    monkeypatch.setenv("SPEEDY_FORCE_FUSED_SYNTH", "interpret")
+    g = jnp.asarray([0.9, 1.1], jnp.float32)
+    r_mc = pb.batched_nonlinear_speedup_multichannel(
+        st, lengths, cfg, 3.0, gain=g
+    )
+    r_mono = pb.batched_nonlinear_speedup(
+        jnp.asarray(x), lengths, cfg, 3.0, gain=g
+    )
+    assert bool(jnp.all(r_mc.tension == r_mono.tension))
+    np.testing.assert_array_equal(
+        np.asarray(r_mc.valid_length), np.asarray(r_mono.valid_length)
+    )
+    y = np.asarray(r_mc.output)
+    np.testing.assert_array_equal(y[:, 0], y[:, 1])
+    np.testing.assert_allclose(y[:, 0], np.asarray(r_mono.output), atol=1e-5)
+
+    monkeypatch.setenv("SPEEDY_DISABLE_FUSED_FRONTEND", "1")
+    r_off = pb.batched_nonlinear_speedup_multichannel(
+        st, lengths, cfg, 3.0, gain=g
+    )
+    assert bool(jnp.all(r_mc.tension == r_off.tension))
+    np.testing.assert_array_equal(
+        np.asarray(r_mc.valid_length), np.asarray(r_off.valid_length)
+    )
+    d = np.abs(y - np.asarray(r_off.output))
     assert np.mean(d > 1e-3) < 0.02, (d.max(), np.mean(d > 1e-3))

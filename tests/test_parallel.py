@@ -418,13 +418,44 @@ def test_capacity_factor_truncation_is_loud():
 
 def test_corpus_engine_capacity_factor_retry():
     """CorpusEngine with a deliberately too-small capacity_factor must
-    transparently redo truncated utterances under the worst-case plan:
-    results match the plain engine's lengths."""
+    transparently redo truncated utterances under the worst-case plan —
+    BATCHED (one retry dispatch per bucket, not B=1 per utterance), with
+    the retry counted in stats and surfaced as a RuntimeWarning."""
+    import warnings as _w
+
     utts = [make_batch(B=1, L=8000, seed=s)[0] for s in range(3)]
     plain = CorpusEngine(CFG16, 3.0, batch_size=3).process(utts)
-    tight = CorpusEngine(
-        CFG16, 3.0, batch_size=3, capacity_factor=0.3
-    ).process(utts)
+    eng = CorpusEngine(CFG16, 3.0, batch_size=3, capacity_factor=0.3)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        tight = eng.process(utts)
+    assert any("rate-derived output cap" in str(r.message) for r in rec)
+    assert eng.stats["capacity_retries"] == 3
+    assert eng.stats["retry_batches"] == 1  # batched, not per-utterance
+    assert eng.stats["batches"] == 1
     for a, b in zip(plain, tight):
         assert len(a) == len(b)
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_corpus_engine_routes_long_utterances_to_streaming():
+    """Utterances beyond long_utterance_samples bypass the padded-bucket
+    batch engine and run through the device streaming pipeline (the
+    batched engine's f32 output clock drifts on minutes-long files and
+    its buckets double unboundedly). Output must agree with the batch
+    engine at this still-batchable length, and short utterances in the
+    same corpus stay on the batch path."""
+    long_u = make_batch(B=1, L=24000, seed=7)[0]
+    short_u = make_batch(B=1, L=8000, seed=8)[0]
+    eng = CorpusEngine(
+        CFG16, 3.0, batch_size=2, long_utterance_samples=16000
+    )
+    got = eng.process([long_u, short_u])
+    assert eng.stats["streamed_long"] == 1
+    assert eng.stats["batches"] == 1
+    ref = CorpusEngine(CFG16, 3.0, batch_size=2).process([long_u, short_u])
+    np.testing.assert_allclose(got[1], ref[1], atol=1e-6)
+    n = min(len(got[0]), len(ref[0]))
+    assert abs(len(got[0]) - len(ref[0])) <= 2
+    d = np.abs(got[0][:n] - ref[0][:n])
+    assert d.max() < 5e-3 and d.mean() < 1e-4, (d.max(), d.mean())

@@ -1323,17 +1323,26 @@ def _analysis_geometry(window: int, step: int):
     where gf = lcm(step, 128) / step: frame (g*gf + p)'s window starts at
     row g*gr + (p*step)//128, lane (p*step) % 128 of a [rows, 128] view.
     That makes extraction a handful of STATIC strided slices + lane rolls
-    — no gather, no one-hot select. Returns (gf, gr, nt, hb) or None when
-    the geometry is kernel-unfriendly (gf > 8 would unroll too many
-    phases; hb > 384 overflows the split-re/im lane budget)."""
+    — no gather, no one-hot select. Returns (gf, gr, nt, hb, n_g1) or
+    None when the geometry is kernel-unfriendly (gf > 32 would unroll too
+    many phases; hb > 384 overflows the split-re/im lane budget). n_g1 is
+    the slab group count (groups of gf frames per chunk, incl. one
+    leading group): 128 for the dense-phase rates (gf <= 8 — 16/24 kHz
+    class, unchanged layout), shrunk to keep R = gf*n_g1 = 1024 slab rows
+    for the sparse-phase rates (22.05 kHz: step 220 -> gf = 32, the
+    reference's canonical config, speedy.c:213-215)."""
     g = np.gcd(step, 128)
     gf = 128 // g
     gr = step * gf // 128
     nt = -(-window // 128)
     hb = -(-(window + 1) // 128) * 128
-    if gf > 8 or hb > 384 or window <= step:
+    if gf > 32 or hb > 384 or window <= step:
         return None
-    return gf, gr, nt, hb
+    n_g1 = 128 if gf <= 8 else 1024 // gf
+    env = os.environ.get("SPEEDY_ANALYSIS_NG1", "")
+    if env and gf > 8:  # experiment knob for the sparse-phase slab size
+        n_g1 = int(env)
+    return gf, gr, nt, hb, n_g1
 
 
 @functools.lru_cache(maxsize=16)
@@ -1540,7 +1549,8 @@ def _analysis_kernel(
             e_cols.append(energy[s])
         ecl = jnp.concatenate(e_cols + l_cols, axis=1)  # [n_g1, 2*gf]
         rows = jnp.swapaxes(ecl, 0, 1)  # [2*gf, n_g1]
-        out_ref[0, c * 16 : c * 16 + 2 * gf, :] = rows
+        orows = 16 if gf <= 8 else 2 * gf
+        out_ref[0, c * orows : c * orows + 2 * gf, :] = rows
 
         if pitch is None:
             continue
@@ -1713,8 +1723,10 @@ def analysis_energy_lsd_pallas(
     low_energy | t == 0`) zeroes it in every consumer.
 
     Geometry: integer-step frames only; supported when
-    _analysis_geometry(window, step) is not None (16/24 kHz-class
-    configs; 22.05 kHz's 32-phase pattern stays on the XLA path).
+    _analysis_geometry(window, step) is not None — the 16/24 kHz-class
+    dense lattices (gf <= 8, 128-group slabs) AND the reference's
+    canonical 22.05 kHz config (step 220 -> gf = 32 phases, 32-group
+    slabs keeping R = 1024 slab rows; speedy.c:213-215).
 
     pitch_geom (optional, static): (taps, minp, maxp, G) — fuse the
     WSOLA pitch-grid SSD search into the same single pass over x (the
@@ -1725,7 +1737,7 @@ def analysis_energy_lsd_pallas(
     pitch_ssd_pallas up to fp summation order (see _analysis_kernel)."""
     geo = _analysis_geometry(window, step)
     assert geo is not None, (window, step)
-    gf, gr, nt, hb = geo
+    gf, gr, nt, hb, n_g1 = geo
     if not isinstance(precision, str):
         precision = {
             jax.lax.Precision.DEFAULT: "default",
@@ -1735,13 +1747,28 @@ def analysis_energy_lsd_pallas(
     W = window
     B, L = x.shape
     dt = x.dtype
-    n_g1 = 128
     ng = n_g1 - 1
     F = gf * ng  # frames per chunk
     NC = max(1, -(-num_frames // F))
     # Chunk c covers groups [c*ng - 1, c*ng + ng): rows c*ng*gr (8-aligned
-    # down, residual re-added in-kernel) .. + chunk_rows.
-    chunk_rows = (-(-((n_g1 * gf - 1) * step + W) // 128) + 2 + 7) // 8 * 8
+    # down, residual re-added in-kernel) .. + chunk_rows. The slab must
+    # hold EVERY strided row_view the kernel traces: view (q, rr) spans
+    # slab rows d + q*gr .. + n_g1*gr with d up to 7 (the 8-alignment
+    # residual) — computed exactly over the (phase, tile) lattice below.
+    # (The old closed form under-counted by up to gr-1 rows for chunks
+    # with d >= 4, a trace-time reshape failure first reachable at
+    # NC >= 3 on the pitch-free path.)
+    max_q = 0
+    for p_ in range(gf):
+        lam_ = (p_ * step) % 128
+        for t_ in range(nt):
+            r_ = (p_ * step + t_ * 128) // 128
+            top = r_ if lam_ == 0 else r_ + 1
+            max_q = max(max_q, top // gr)
+    chunk_rows = -(-(max_q * gr + n_g1 * gr + 7) // 8) * 8
+    # Out rows per chunk: [energy | lsd] = 2*gf rows (16 kHz class keeps
+    # the historical 16-row stride; gf > 8 packs at its natural stride).
+    orows = 16 if gf <= 8 else 2 * gf
     pitch = None
     mats_p = ()
     if pitch_geom is not None:
@@ -1820,8 +1847,8 @@ def analysis_energy_lsd_pallas(
         *[pl.BlockSpec(m.shape, c0) for m in mats_p],
         pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0)),
     ]
-    out_specs = pl.BlockSpec((1, NC * 16, n_g1), lambda b: (b, 0, 0))
-    out_shape = jax.ShapeDtypeStruct((B, NC * 16, n_g1), dt)
+    out_specs = pl.BlockSpec((1, NC * orows, n_g1), lambda b: (b, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, NC * orows, n_g1), dt)
     if pitch is not None:
         PRC = pitch[6]
         out_specs = (
@@ -1856,9 +1883,9 @@ def analysis_energy_lsd_pallas(
              if cpc > 0],
             axis=1,
         )
-    # Unpack [B, NC, 16, n_g1]: frame (c*ng + g - 1)*gf + p lives at
+    # Unpack [B, NC, orows, n_g1]: frame (c*ng + g - 1)*gf + p lives at
     # [b, c, p, g] (energy) / [b, c, gf + p, g] (lsd), g in 1..ng.
-    o = out.reshape(B, NC, 16, n_g1)
+    o = out.reshape(B, NC, orows, n_g1)
     T = num_frames
 
     def unpack(rows):

@@ -122,13 +122,22 @@ def batched_analysis(
     # kernels in _run_grid_engine. The XLA formulation below remains the
     # off-TPU/reference path; SPEEDY_FORCE_ANALYSIS_KERNEL=interpret
     # routes the kernel through interpret mode for hermetic coverage.
+    # Default-on only for the dense-phase lattices (gf <= 8): at
+    # 22.05 kHz the gf = 32 kernel is supported and fully gated but
+    # measured ~2x SLOWER than the XLA chain on hardware
+    # (experiments/analysis22k_probe.py: 9.96 vs 4.91 ms/step HIGH,
+    # B=128; n_g1 32/64/128 sweep did not close it), so the chain stays
+    # that rate's production path; SPEEDY_FORCE_ANALYSIS_KERNEL=1 opts
+    # the kernel in on TPU anyway.
     from ..ops import pallas_kernels as _pk
 
     force_k = os.environ.get("SPEEDY_FORCE_ANALYSIS_KERNEL", "")
     on_tpu = jax.default_backend() == "tpu"
-    geo_ok = _pk._analysis_geometry(W, step) is not None
+    geo = _pk._analysis_geometry(W, step)
+    geo_ok = geo is not None
+    fast_ok = geo_ok and (geo[0] <= 8 or force_k == "1")
     periods = None
-    if (on_tpu or force_k == "interpret") and geo_ok:
+    if (force_k == "interpret" and geo_ok) or (on_tpu and fast_ok):
         prec = dft.analysis_precision()
 
         def kern(x_s, g_s):
@@ -286,10 +295,15 @@ def _fused_pitch_geom(cfg, L, minp, maxp, min_speed_bound):
     on_tpu = jax.default_backend() == "tpu"
     force_a = os.environ.get("SPEEDY_FORCE_ANALYSIS_KERNEL", "")
     force_p = os.environ.get("SPEEDY_FORCE_PITCH_KERNEL", "")
-    active = on_tpu or (force_a == "interpret" and force_p == "interpret")
-    if not active or os.environ.get("SPEEDY_DISABLE_FUSED_FRONTEND") == "1":
+    geo = _pk._analysis_geometry(W, step)
+    if geo is None or os.environ.get("SPEEDY_DISABLE_FUSED_FRONTEND") == "1":
         return None
-    if _pk._analysis_geometry(W, step) is None:
+    # Mirror batched_analysis' routing: interpret forces (hermetic), or
+    # TPU with a dense-phase lattice (gf <= 8; the gf = 32 form is
+    # measured slower than the XLA chain — see batched_analysis) or an
+    # explicit opt-in.
+    interp = force_a == "interpret" and force_p == "interpret"
+    if not (interp or (on_tpu and (geo[0] <= 8 or force_a == "1"))):
         return None
     hop0 = wsola_fast.plan_grid(cfg, L, min_speed_bound)[0]
     taps = maxp

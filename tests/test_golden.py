@@ -114,3 +114,39 @@ def test_matches_c_reference_bitlevel(tapestry_analysis):
     # Tension identity: a*(E_h - M_E) + b*(changes - M_S), speedy.c:754-761.
     recon = 0.5 * (feats[:, 4] - 0.7) + 0.25 * (feats[:, 10] - 1.0)
     np.testing.assert_allclose(feats[:, 11], recon, atol=1e-6)
+
+
+def test_analysis_kernel_tension_golden_22050(monkeypatch):
+    """Golden-level gate for the fused analysis KERNEL at the reference's
+    canonical 22.05 kHz rate (speedy_test.cc:228-230): with the gf = 32
+    lattice the kernel is now the active production front-end here, so
+    hold the kernel-path batched tension directly to the Matlab golden
+    tension (feature 11 gate: delay 0, SNR > 8 — speedy_test.cc:1019)
+    at BOTH the production HIGH precision and HIGHEST, and to the XLA
+    chain tightly at matched HIGHEST."""
+    import jax
+    import jax.numpy as jnp
+
+    from speedy_tpu.ops import pallas_kernels as pk
+    from speedy_tpu.parallel.batch import batched_analysis
+
+    samples, sr = testutil.load_wave("tapestry22050.wav")
+    x = samples.astype(np.float32) / 32768.0
+    cfg = SpeedyConfig(sr)
+    # The kernel must be the ACTIVE path at this rate, or this gate is
+    # testing the XLA chain again.
+    assert pk._analysis_geometry(cfg.window_size, cfg.frame_step_int) \
+        is not None
+    T = cfg.num_frames(len(x), integer_step=True)
+    expected = testutil.load_golden("tapestry_features_data.txt")
+
+    monkeypatch.setenv("SPEEDY_ANALYSIS_PRECISION", "highest")
+    monkeypatch.setenv("SPEEDY_FORCE_ANALYSIS_KERNEL", "")
+    t_xla = np.asarray(batched_analysis(jnp.asarray(x[None]), cfg, T))[0]
+    monkeypatch.setenv("SPEEDY_FORCE_ANALYSIS_KERNEL", "interpret")
+    for prec, atol in (("highest", 2e-5), ("high", 2e-2)):
+        monkeypatch.setenv("SPEEDY_ANALYSIS_PRECISION", prec)
+        t_k = np.asarray(batched_analysis(jnp.asarray(x[None]), cfg, T))[0]
+        delay, snr = testutil.best_delay_and_snr(t_k, expected[:, 11])
+        assert delay == 0 and snr > 8, (prec, delay, snr)
+        np.testing.assert_allclose(t_k, t_xla, atol=atol)

@@ -199,18 +199,20 @@ def _analysis_tpu_batch(B=4, L=48000):
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
-def test_analysis_kernel_on_tpu():
+@pytest.mark.parametrize("W,step", [(240, 160), (330, 220)])
+def test_analysis_kernel_on_tpu(W, step):
     """The fused analysis front-end's Mosaic lowering (strided-slice
     window extraction, lane rolls with row carry, manual 3-pass bf16
     HIGH split, masked log-ratio) must match interpret mode on hardware.
     The HIGH split is the fold-proof truncation form (_bf16_trunc_split),
     so both modes run the same math and agree to summation-order noise
     (probe: experiments/analysis_hw_vs_interp.py — max rel 3.6e-7 at
-    HIGH, 5.4e-7 at HIGHEST on the 4-family batch)."""
+    HIGH, 5.4e-7 at HIGHEST on the 4-family batch). Covers both lattice
+    classes: 16 kHz (gf = 4, dense) and the reference's canonical
+    22.05 kHz (gf = 32, 32-group slabs)."""
     from speedy_tpu.ops.pallas_kernels import analysis_energy_lsd_pallas
 
     x = jnp.asarray(_analysis_tpu_batch())
-    W, step = 240, 160
     T = (x.shape[1] - W) // step + 1
     g = jnp.asarray([1.0, 0.7, 1.3, 0.9], jnp.float32)
     for prec in ("high", "highest"):
@@ -228,12 +230,14 @@ def test_analysis_kernel_on_tpu():
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
-def test_fused_frontend_on_tpu():
+@pytest.mark.parametrize("sr", [16000, 22050])
+def test_fused_frontend_on_tpu(sr):
     """The fused analysis+pitch variant on hardware: energy/lsd must be
     BITWISE what the pitch-free kernel computes (shared analysis body;
     pitch only grows the chunk slab), and periods must match
     pitch_ssd_pallas' hardware output up to the documented near-silence
-    argmin-tie class (same gate as test_pitch_ssd_kernel_on_tpu)."""
+    argmin-tie class (same gate as test_pitch_ssd_kernel_on_tpu).
+    Runs at 16 kHz and the reference's canonical 22.05 kHz."""
     from speedy_tpu.config import SpeedyConfig
     from speedy_tpu.ops.pallas_kernels import (
         analysis_energy_lsd_pallas,
@@ -241,7 +245,7 @@ def test_fused_frontend_on_tpu():
     )
     from speedy_tpu.ops import wsola_fast
 
-    cfg = SpeedyConfig(16000)
+    cfg = SpeedyConfig(sr)
     x = jnp.asarray(_analysis_tpu_batch())
     B, L = x.shape
     W, step = cfg.window_size, cfg.frame_step_int

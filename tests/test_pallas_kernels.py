@@ -460,15 +460,29 @@ def _analysis_test_batch(L=32000):
     return np.stack([voiced, noise, bursty])
 
 
-def test_analysis_kernel_matches_xla():
+@pytest.mark.parametrize(
+    "sr,W,step,L",
+    [
+        (16000, 240, 160, 32000),
+        # >= 3 chunks at 16 kHz: regression for the chunk_rows
+        # under-count (the old +2-row slack missed row_views on chunks
+        # whose 8-alignment residual d >= 4 — a trace-time reshape
+        # failure first reachable at NC >= 3 on the pitch-free path).
+        (16000, 240, 160, 340000),
+        # 22.05 kHz — the reference's canonical rate (speedy.c:213-215):
+        # the gf = 32 sparse-phase lattice with 32-group slabs.
+        (22050, 330, 220, 66150),
+        (22050, 330, 220, 441000),  # multi-chunk at 22.05 kHz
+    ],
+)
+def test_analysis_kernel_matches_xla(sr, W, step, L):
     """Fused analysis front-end == the XLA chain (matched f32/'highest'
     precision, interpret mode): the wiring gate for window extraction,
     preemphasis state (incl. the frame-0 zero state), Hamming, tile-split
     DFT, and the masked log-ratio — on voiced/noise/bursty signals with
-    per-utterance gain."""
-    xs = _analysis_test_batch()
-    L = xs.shape[1]
-    W, step = 240, 160
+    per-utterance gain, across both lattice classes (dense gf <= 8 and
+    the 22.05 kHz 32-phase form) and multi-chunk lengths."""
+    xs = _analysis_test_batch(L)
     T = (L - W) // step + 1
     g = jnp.asarray([1.0, 0.7, 1.4], jnp.float32)
     e_ref, l_ref = _analysis_xla_chain(jnp.asarray(xs), W, step, T, g)
@@ -480,11 +494,18 @@ def test_analysis_kernel_matches_xla():
         np.asarray(e_k), np.asarray(e_ref), rtol=2e-6, atol=1e-6
     )
     # lsd[:, 0] is DON'T-CARE (zeroed by the skip gate downstream).
+    # Tight everywhere, with a COUNTED budget for 40 dB-mask-edge flips:
+    # a bin whose magnitude sits within f32 noise of the mask threshold
+    # can flip inclusion between the two formulations, shifting that
+    # frame's masked log-ratio sum by one |log-ratio| term (the same
+    # documented class the 16 kHz oracle gate counts; each outlier is
+    # bounded by a small fraction of the frame value).
     scale = float(np.abs(np.asarray(l_ref)).max())
-    np.testing.assert_allclose(
-        np.asarray(l_k)[:, 1:], np.asarray(l_ref)[:, 1:],
-        atol=2e-4 * max(scale, 1.0),
-    )
+    dl = np.abs(np.asarray(l_k)[:, 1:] - np.asarray(l_ref)[:, 1:])
+    tight = 2e-4 * max(scale, 1.0)
+    n_out = int((dl > tight).sum())
+    rel = dl / (np.abs(np.asarray(l_ref)[:, 1:]) + 1.0)
+    assert n_out <= 2 and rel.max() < 1e-2, (n_out, dl.max(), rel.max())
 
 
 def test_analysis_kernel_in_pipeline(monkeypatch):
@@ -556,7 +577,66 @@ def test_fused_frontend_matches_parts():
     assert np.mean(d > 0.1) < 0.005, (d.max(), np.argwhere(d > 0.1)[:5])
 
 
-def test_fused_frontend_pipeline(monkeypatch):
+def test_fused_frontend_22050():
+    """The fused analysis+pitch front-end at the reference's canonical
+    22.05 kHz config (gf = 32 lattice, G = 768 pitch grid): energy/lsd
+    must be BITWISE identical to the pitch-free kernel, and every period
+    disagreement vs pitch_ssd_pallas must be a float64 SSD tie
+    (testutil.assert_period_flips_are_ties — the same attribution gate
+    the 16 kHz pipeline uses)."""
+    import testutil
+    from speedy_tpu.config import SpeedyConfig
+
+    sr = 22050
+    cfg = SpeedyConfig(sr)
+    W, step = cfg.window_size, cfg.frame_step_int
+    maxp, minp = cfg.wsola_max_period, cfg.wsola_min_period
+    taps = maxp
+    seg_w = taps + maxp
+    G = 768
+    assert G % 128 == 0 and G >= seg_w
+    B, L = 2, sr * 4
+    rng = np.random.default_rng(5)
+    t = np.arange(L) / sr
+    f0 = 140.0 + 40.0 * np.sin(2 * np.pi * 0.6 * t)
+    x = np.stack([
+        (0.4 * np.sin(np.cumsum(2 * np.pi * f0 / sr))
+         * np.clip(np.sin(2 * np.pi * 2.3 * t), 0, None)).astype(np.float32),
+        (rng.standard_normal(L) * 0.05).astype(np.float32),
+    ])
+    g = jnp.asarray([1.0, 0.8], jnp.float32)
+    T = cfg.num_frames(L, integer_step=True)
+    xj = jnp.asarray(x)
+    e1, l1 = pk.analysis_energy_lsd_pallas(xj, T, W, step, gain=g,
+                                           interpret=True)
+    e2, l2, per = pk.analysis_energy_lsd_pallas(
+        xj, T, W, step, gain=g, interpret=True,
+        pitch_geom=(taps, minp, maxp, G),
+    )
+    assert bool(jnp.all(e1 == e2)) and bool(jnp.all(l1 == l2))
+
+    n_grid = -(-(L + seg_w) // G)
+    assert per.shape == (B, n_grid)
+    n_cells = -(-n_grid // 64) * 64
+    xg = np.zeros((B, n_cells * G), np.float32)
+    xg[:, :L] = x
+    ref = pk.pitch_ssd_pallas(
+        jnp.asarray(xg.reshape(B, n_cells, G)), taps, minp, maxp,
+        interpret=True, gain=g,
+    )[:, :n_grid]
+    xpad = np.zeros((B, n_grid * G + seg_w), np.float32)
+    xpad[:, :L] = x
+    segs = np.stack(
+        [np.stack([xpad[b, k * G : k * G + seg_w] for k in range(n_grid)])
+         for b in range(B)]
+    )
+    testutil.assert_period_flips_are_ties(
+        segs, np.asarray(ref), np.asarray(per), taps, minp, maxp
+    )
+
+
+@pytest.mark.parametrize("sr", [16000, 22050])
+def test_fused_frontend_pipeline(monkeypatch, sr):
     """End-to-end: batched_nonlinear_speedup with the fused front-end
     (both interpret forces set) vs SPEEDY_DISABLE_FUSED_FRONTEND=1 —
     tension bitwise, valid lengths equal, and every output difference
@@ -570,17 +650,18 @@ def test_fused_frontend_pipeline(monkeypatch):
     fails here); (b) each output-diff sample maps (through the speed
     time map) into the neighborhood of a cell whose periods differ — a
     synth/gain regression producing diffs away from period flips fails
-    here; (c) the total diff fraction stays small."""
+    here; (c) the total diff fraction stays small. Runs at 16 kHz AND
+    at the reference's canonical 22.05 kHz (gf = 32 lattice)."""
     from speedy_tpu.config import SpeedyConfig
     from speedy_tpu.parallel import batch as pb
     from speedy_tpu.ops import wsola as ow
     from speedy_tpu.ops import wsola_fast as wf
 
     rng = np.random.default_rng(1)
-    cfg = SpeedyConfig(16000)
+    cfg = SpeedyConfig(sr)
     B, L = 2, 60000
     x = (rng.standard_normal((B, L)) * 0.2).astype(np.float32)
-    t = np.arange(L) / 16000.0
+    t = np.arange(L) / float(sr)
     x[0] = (
         0.4 * np.sin(2 * np.pi * 140 * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
     ).astype(np.float32)

@@ -112,7 +112,15 @@ def main():
     families = np.stack(fams)  # [n_fam, L]
     # Row b of every batch runs family b % n_fam — each dispatched batch
     # is heterogeneous; per-iteration amplitudes keep inputs distinct.
-    base_rows = families[np.arange(B) % len(families)]  # [B, L]
+    # SPEEDY_BENCH_FAMILY=k runs a HOMOGENEOUS batch of family k instead
+    # (k = 0..n_fam-1; 4 = real speech) — for per-family rate reporting.
+    fam_sel = os.environ.get("SPEEDY_BENCH_FAMILY", "")
+    if fam_sel != "":
+        k = int(fam_sel) % len(families)
+        print(f"bench: homogeneous family {k}", file=sys.stderr)
+        base_rows = np.broadcast_to(families[k], (B, L)).copy()
+    else:
+        base_rows = families[np.arange(B) % len(families)]  # [B, L]
 
     # Always build the mesh — even at n_dev=1 — so the benchmarked program
     # is the meshed one (analysis under sharding constraints, WSOLA inside

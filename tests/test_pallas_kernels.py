@@ -473,6 +473,9 @@ def _analysis_test_batch(L=32000):
         # the gf = 32 sparse-phase lattice with 32-group slabs.
         (22050, 330, 220, 66150),
         (22050, 330, 220, 441000),  # multi-chunk at 22.05 kHz
+        # 24 kHz (negative_speed.wav's rate): gf = 8, the dense-lattice
+        # boundary case.
+        (24000, 360, 240, 96000),
     ],
 )
 def test_analysis_kernel_matches_xla(sr, W, step, L):

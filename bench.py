@@ -136,13 +136,15 @@ def main():
     # Rate-derived output capacity (the production serving config): the
     # worst-case speed-1.0 plan leaves ~5/8 of the output buffer dead at
     # 3.5x, and every K-proportional stage pays for it — measured +25%
-    # (experiments/capacity_probe.py). Factor 1.5 holds with >20% margin
-    # over the heterogeneous batch's real output lengths (max valid
-    # 56371 vs cap 68960); truncation would be loud (valid_length == cap
-    # and the checksum-distinctness assert below would trip on clamped
-    # outputs long before the length gates would).
+    # (experiments/capacity_probe.py). The factor is tuned to FILL, not
+    # straddle, a 128-row synthesis span block (the block COUNT sets the
+    # cost; see batched_nonlinear_speedup's sizing tip): 1.33 is the
+    # largest 3-block cap at this shape — 266.6k vs 256.4k at 1.35 (the
+    # 4-block side) — and holds +8.4% margin over the heterogeneous
+    # batch's real output lengths (max valid 56371 vs cap 61120).
+    # Truncation is loud: the guard below fails the run at valid == cap.
     # SPEEDY_BENCH_CAP_FACTOR=0 restores the worst-case plan for A/B.
-    cap_factor = float(os.environ.get("SPEEDY_BENCH_CAP_FACTOR", "1.5")) or None
+    cap_factor = float(os.environ.get("SPEEDY_BENCH_CAP_FACTOR", "1.33")) or None
 
     def fn(xs, lengths, gain=None):
         # Checksum = sum over the FULL output buffer. A cheaper
@@ -153,7 +155,16 @@ def main():
             xs, lengths, cfg, 3.5, 1.0, 0.1, mesh=mesh, gain=gain,
             capacity_factor=cap_factor,
         )
-        return jnp.sum(out.output), jnp.sum(out.valid_length)
+        return jnp.sum(out.output), jnp.max(out.valid_length)
+
+    # Truncation guard: the contract reports a clamped utterance as
+    # valid_length == capacity exactly, so any iteration whose max valid
+    # reaches the cap means the benchmark silently dropped work — fail
+    # loudly instead. (grid_output_capacity is the exact buffer size the
+    # pipeline plans with.)
+    from speedy_tpu.parallel.batch import grid_output_capacity
+
+    cap = grid_output_capacity(cfg, L, 3.5, cap_factor)
 
     step_fn = jax.jit(fn)
     lengths = jnp.asarray(np.full((B,), L, np.int32))
@@ -178,6 +189,7 @@ def main():
             s, v = step_fn(xs, lengths)
             float(s)  # value fetch = true synchronization barrier
             times.append(time.perf_counter() - t0)
+            assert int(v) < cap, f"output truncated: valid {int(v)} == cap {cap}"
         dt = min(times)
     else:
         # Steady-state: distinct inputs stacked on device, ONE dispatch
@@ -206,9 +218,9 @@ def main():
                     s, v = fn(base_d * amp, lens)
                 else:
                     s, v = fn(base_d, lens, gain=amp[:, 0])
-                return 0, s
-            _, sums = jax.lax.scan(body, 0, amps)
-            return sums
+                return 0, (s, v)
+            _, (sums, vmaxes) = jax.lax.scan(body, 0, amps)
+            return sums, jnp.max(vmaxes)
 
         scan_jit = jax.jit(scan_fn)
 
@@ -217,25 +229,31 @@ def main():
                 rng.uniform(0.5, 1.0, size=(iters, B, 1)).astype(np.float32)
             )
 
-        float(jnp.sum(scan_jit(fresh_amps(), lengths)))  # compile
+        float(jnp.sum(scan_jit(fresh_amps(), lengths)[0]))  # compile
         windows = [fresh_amps() for _ in range(2)]
         for amps in windows:
             float(jnp.sum(amps))
         best = None
         window_rates = []
+        vmax_all = 0
         for amps in windows:
             t0 = time.perf_counter()
-            sums = scan_jit(amps, lengths)
+            sums, vmax = scan_jit(amps, lengths)
             checksums = [float(s) for s in np.asarray(sums)]
             dt_total = time.perf_counter() - t0
             assert len(set(checksums)) == iters, "distinct inputs, equal sums?"
+            vmax = int(vmax)
+            assert vmax < cap, f"output truncated: valid {vmax} == cap {cap}"
+            vmax_all = max(vmax_all, vmax)
             best = dt_total if best is None else min(best, dt_total)
             window_rates.append(B * seconds / (dt_total / iters))
         dt = best / iters
         print(
             f"window spread (audio-s/s, heterogeneous {len(families)}-family "
             f"batch{', incl. real speech' if len(families) > 4 else ''}): "
-            + ", ".join(f"{r:.0f}" for r in window_rates),
+            + ", ".join(f"{r:.0f}" for r in window_rates)
+            + f"; capacity margin {cap / max(vmax_all, 1) - 1.0:+.1%} "
+            f"(max valid {vmax_all} vs cap {cap})",
             file=sys.stderr,
         )
 

@@ -459,6 +459,30 @@ def _mask_speeds(speeds: jnp.ndarray, valid_tension: jnp.ndarray) -> jnp.ndarray
     return jnp.where(idx < valid_tension, speeds, speeds[last])
 
 
+def grid_output_capacity(
+    cfg: SpeedyConfig,
+    L: int,
+    global_speed: float,
+    capacity_factor: Optional[float] = None,
+    min_speed_bound: Optional[float] = None,
+) -> int:
+    """The grid engine's output capacity for a length-L utterance — the
+    exact value batched_nonlinear_speedup sizes its output buffer with
+    (worst-case plan, or rate-derived when capacity_factor applies).
+    Serving code uses it to preallocate and to check the truncation
+    contract (valid_length == capacity) against a known bound."""
+    if min_speed_bound is None:
+        min_speed_bound = 1.0 if global_speed >= 1.0 else max(C.MIN_SPEED, 0.3 * global_speed)
+    hop, gcap, _ = wsola_fast.plan_grid(cfg, L, min_speed_bound)
+    if capacity_factor is not None and global_speed > 1.0:
+        # Quantized to hop multiples, never above the worst-case plan,
+        # floored at a few hops so degenerate factors stay runnable.
+        tight = int(np.ceil(capacity_factor * L / global_speed / hop) + 2) * hop
+        if tight < gcap:
+            gcap = tight
+    return gcap
+
+
 def batched_nonlinear_speedup(
     xs: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -505,6 +529,14 @@ def batched_nonlinear_speedup(
     as the retry-with-a-bigger-factor signal (1.5 holds with >20%
     margin on the speech/noise/chirp bench families at 3.5x). Ignored
     when `capacity` is given or global_speed <= 1.
+
+    Sizing tip: the synthesis kernels process output slots in 128-row
+    span blocks (NB = ceil(K/128), K = capacity/hop + 1), and the block
+    COUNT dominates the capacity-proportional cost — marginal slots
+    inside the last partial block are nearly free (measured at 3.5x/10 s:
+    factors 1.30 and 1.33 both plan 3 blocks and run equal; 1.35 crosses
+    to 4 blocks and costs ~4%). Size the factor to fill, not straddle,
+    a block boundary; grid_output_capacity exposes the planned cap.
     """
     B, L = xs.shape
     step = cfg.frame_step_int
@@ -567,10 +599,10 @@ def batched_nonlinear_speedup(
         if capacity is not None:
             gcap, K = capacity, capacity // hop + 1
         elif capacity_factor is not None and global_speed > 1.0:
-            # Rate-derived capacity (see docstring): quantized to hop
-            # multiples, never above the worst-case plan, floored at a
-            # few hops so degenerate factors stay runnable.
-            tight = int(np.ceil(capacity_factor * L / global_speed / hop) + 2) * hop
+            # Rate-derived capacity (see docstring / grid_output_capacity).
+            tight = grid_output_capacity(
+                cfg, L, global_speed, capacity_factor, min_speed_bound
+            )
             if tight < gcap:
                 gcap, K = tight, tight // hop + 1
         # Enables the block-span gather (one DMA per 128 rows).
@@ -688,7 +720,9 @@ def batched_nonlinear_speedup_multichannel(
     speeds = jnp.maximum(speeds, jnp.asarray(min_speed_bound, mono.dtype))
     hop, gcap, K = wsola_fast.plan_grid(cfg, L, min_speed_bound)
     if capacity_factor is not None and global_speed > 1.0:
-        tight = int(np.ceil(capacity_factor * L / global_speed / hop) + 2) * hop
+        tight = grid_output_capacity(
+            cfg, L, global_speed, capacity_factor, min_speed_bound
+        )
         if tight < gcap:
             gcap, K = tight, tight // hop + 1
     max_speed_plan = _plan_max_speed(global_speed, nonlinear_factor)

@@ -399,6 +399,23 @@ def test_capacity_factor_matches_default_plan():
     )
 
 
+def test_grid_output_capacity_matches_buffer():
+    """grid_output_capacity (the public sizing helper the bench's
+    truncation guard checks against) must return the exact buffer width
+    batched_nonlinear_speedup allocates — worst-case and rate-derived."""
+    from speedy_tpu.parallel.batch import grid_output_capacity
+
+    xs = make_batch()
+    lengths = jnp.asarray([8000] * 4, jnp.int32)
+    for factor in (None, 0.3, 1.5):
+        out = batched_nonlinear_speedup(
+            jnp.asarray(xs), lengths, CFG16, 3.0, capacity_factor=factor
+        )
+        assert out.output.shape[1] == grid_output_capacity(
+            CFG16, xs.shape[1], 3.0, factor
+        ), factor
+
+
 def test_capacity_factor_truncation_is_loud():
     """When an utterance's true output exceeds the rate-derived cap, the
     documented contract holds: valid_length == capacity exactly (the

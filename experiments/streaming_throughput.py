@@ -38,9 +38,13 @@ for seg_frames in (512, 1024, 2048):
         cfg, global_speed=3.5, nonlinear_factor=1.0,
         segment_frames=seg_frames,
     )
-    # Warm the compiles with the first few feeds.
+    # Warm the compiles: feed enough to emit >= 2 full segments (the
+    # first segment dispatch compiles the per-shape programs; 10 feeds
+    # is NOT enough at segment_frames >= 1024 and the compile lands in
+    # the timed region otherwise).
     out = []
-    warm = 10 * FEED
+    seg_samples = seg_frames * cfg.frame_step_int
+    warm = ((2 * seg_samples) // FEED + 2) * FEED
     for i in range(0, warm, FEED):
         out.append(pipe.feed(x[i : i + FEED]))
     t0 = time.perf_counter()
@@ -48,8 +52,8 @@ for seg_frames in (512, 1024, 2048):
     for i in range(warm, len(x), FEED):
         out.append(pipe.feed(x[i : i + FEED]))
         fed += min(FEED, len(x) - i)
+    dt = time.perf_counter() - t0  # flush excluded: one-time drain+compile
     out.append(pipe.flush())
-    dt = time.perf_counter() - t0
     total_out = sum(len(o) for o in out)
     print(
         f"segment_frames={seg_frames:5d}: {fed / SR / dt:8.1f} audio-s/s "

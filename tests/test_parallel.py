@@ -414,6 +414,17 @@ def test_grid_output_capacity_matches_buffer():
         assert out.output.shape[1] == grid_output_capacity(
             CFG16, xs.shape[1], 3.0, factor
         ), factor
+    # Multichannel plans with the same helper (output is [B, C, cap]).
+    from speedy_tpu.parallel.batch import batched_nonlinear_speedup_multichannel
+
+    st = jnp.stack([jnp.asarray(xs), jnp.asarray(xs) * 0.5], axis=2)
+    for factor in (None, 1.5):
+        out = batched_nonlinear_speedup_multichannel(
+            st, lengths, CFG16, 3.0, capacity_factor=factor
+        )
+        assert out.output.shape[2] == grid_output_capacity(
+            CFG16, xs.shape[1], 3.0, factor
+        ), factor
 
 
 def test_capacity_factor_truncation_is_loud():

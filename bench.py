@@ -105,6 +105,8 @@ def main():
         tap, tap_sr = read_wave(tap_path)
         assert tap_sr == sample_rate, (tap_sr, sample_rate)
         tap = tap.astype(np.float32) / 32768.0
+        if tap.ndim > 1:  # stereo wav: mix down (np.tile would tile channels)
+            tap = tap.mean(axis=1)
         reps = -(-L // tap.shape[0])
         fams.append(np.tile(tap, reps)[:L].astype(np.float32))
     else:
@@ -116,7 +118,13 @@ def main():
     # (k = 0..n_fam-1; 4 = real speech) — for per-family rate reporting.
     fam_sel = os.environ.get("SPEEDY_BENCH_FAMILY", "")
     if fam_sel != "":
-        k = int(fam_sel) % len(families)
+        k = int(fam_sel)
+        # Loud, not modulo: k=4 (real speech) must never silently record
+        # a synthetic family's rate when the wav is absent.
+        assert 0 <= k < len(families), (
+            f"SPEEDY_BENCH_FAMILY={k} but only {len(families)} families "
+            "(is the real-speech wav missing?)"
+        )
         print(f"bench: homogeneous family {k}", file=sys.stderr)
         base_rows = np.broadcast_to(families[k], (B, L)).copy()
     else:

@@ -308,7 +308,11 @@ def _fused_pitch_geom(cfg, L, minp, maxp, min_speed_bound):
     hop0 = wsola_fast.plan_grid(cfg, L, min_speed_bound)[0]
     taps = maxp
     seg_w = taps + maxp
-    G = -(-max(3 * hop0, seg_w) // 128) * 128
+    # The SEAM-CRITICAL stride formula lives in ONE place
+    # (wsola_fast.pitch_grid_stride — streaming segment alignment and
+    # _wsola_grid_batch both depend on it); maxp == cfg.wsola_max_period
+    # so the helper's 2*max_period seg_w equals this seg_w.
+    G = wsola_fast.pitch_grid_stride(cfg, hop0)
     M = wsola_fast._pitch_dft_size(max(seg_w, taps + maxp))
     if (2 * (M // 2 + 1)) % 128 != 0:
         return None
@@ -766,7 +770,7 @@ class CorpusEngine:
         use_mesh: bool = False,
         tp: int = 1,
         capacity_factor: Optional[float] = None,
-        long_utterance_samples: int = 1 << 19,
+        long_utterance_samples: Optional[int] = 1 << 19,
     ):
         self.cfg = cfg
         self.global_speed = float(global_speed)
@@ -785,8 +789,14 @@ class CorpusEngine:
         # batched engine's output clock is an f32 cumsum (drift ~sqrt(F)
         # ulps) and its time map is O(K*F), so minutes-long files belong
         # to streaming, not ever-doubling padded buckets. 2^19 samples =
-        # ~33 s at 16 kHz.
-        self.long_utterance_samples = int(long_utterance_samples)
+        # ~33 s at 16 kHz. NOTE the streamed path is single-stream:
+        # use_mesh/tp/capacity_factor do not apply to those utterances
+        # and their samples differ from the batch engine's at float
+        # rounding level (gated to max|d| < 5e-3 vs batch). None
+        # disables rerouting (everything stays in padded buckets).
+        self.long_utterance_samples = (
+            None if long_utterance_samples is None else int(long_utterance_samples)
+        )
         # Observability (reset per process() call): batches dispatched,
         # utterances that hit the rate-derived cap and were retried,
         # retry batches dispatched, utterances routed to streaming.
@@ -849,7 +859,10 @@ class CorpusEngine:
         # padded power-of-two bucket, exact-seam continuation engine).
         batched_idx = []
         for j, u in enumerate(utterances):
-            if len(u) > self.long_utterance_samples:
+            if (
+                self.long_utterance_samples is not None
+                and len(u) > self.long_utterance_samples
+            ):
                 results[j] = self._process_streaming(u)
                 self.stats["streamed_long"] += 1
             else:

@@ -46,7 +46,11 @@ def main():
     from speedy_tpu.config import SpeedyConfig
     from speedy_tpu.parallel.batch import batched_nonlinear_speedup
 
-    sample_rate = 16000
+    # SPEEDY_BENCH_SR=22050 measures the reference's canonical rate (the
+    # analysis front-end runs the XLA chain there — the measured-faster
+    # path, see the CLAUDE.md 22.05 kHz ledger note); default 16 kHz is
+    # the golden-data rate every knee (B, cap factor, iters) is tuned at.
+    sample_rate = int(os.environ.get("SPEEDY_BENCH_SR", "16000"))
     seconds = 10.0
     cfg = SpeedyConfig(sample_rate)
     L = int(sample_rate * seconds)
@@ -99,18 +103,20 @@ def main():
     tap_path = os.environ.get(
         "SPEEDY_BENCH_SPEECH", "/root/reference/test_data/tapestry.wav"
     )
+    tap = tap_sr = None
     if os.path.exists(tap_path):
         from speedy_tpu.io import read_wave
 
         tap, tap_sr = read_wave(tap_path)
-        assert tap_sr == sample_rate, (tap_sr, sample_rate)
+    if tap is not None and tap_sr == sample_rate:
         tap = tap.astype(np.float32) / 32768.0
         if tap.ndim > 1:  # stereo wav: mix down (np.tile would tile channels)
             tap = tap.mean(axis=1)
         reps = -(-L // tap.shape[0])
         fams.append(np.tile(tap, reps)[:L].astype(np.float32))
     else:
-        print(f"bench: no real-speech family ({tap_path} absent)", file=sys.stderr)
+        why = "absent" if tap is None else f"{tap_sr} Hz != bench rate"
+        print(f"bench: no real-speech family ({tap_path} {why})", file=sys.stderr)
     families = np.stack(fams)  # [n_fam, L]
     # Row b of every batch runs family b % n_fam — each dispatched batch
     # is heterogeneous; per-iteration amplitudes keep inputs distinct.
@@ -270,7 +276,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "audio-seconds/sec/chip at 3.5x nonlinear speedup (16 kHz, batched)",
+                "metric": (
+                    "audio-seconds/sec/chip at 3.5x nonlinear speedup "
+                    f"({sample_rate // 1000} kHz, batched)"
+                ),
                 "value": round(value, 1),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(value / 1000.0, 3),

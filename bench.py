@@ -1,5 +1,7 @@
 """Throughput benchmark: audio-seconds processed per wall-second per chip
-for the full nonlinear-speedup pipeline at 3.5x on batched 16 kHz speech.
+for the full nonlinear-speedup pipeline at 3.5x on batched speech
+(SPEEDY_BENCH_SR selects the sample rate; default 16000 — the golden-data
+rate every knee is tuned at; 22050 is the reference's canonical rate).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -129,7 +131,8 @@ def main():
         # a synthetic family's rate when the wav is absent.
         assert 0 <= k < len(families), (
             f"SPEEDY_BENCH_FAMILY={k} but only {len(families)} families "
-            "(is the real-speech wav missing?)"
+            "(is the real-speech wav missing, or at a different rate than "
+            f"SPEEDY_BENCH_SR={sample_rate}?)"
         )
         print(f"bench: homogeneous family {k}", file=sys.stderr)
         base_rows = np.broadcast_to(families[k], (B, L)).copy()
@@ -278,7 +281,7 @@ def main():
             {
                 "metric": (
                     "audio-seconds/sec/chip at 3.5x nonlinear speedup "
-                    f"({sample_rate // 1000} kHz, batched)"
+                    f"({sample_rate / 1000:g} kHz, batched)"
                 ),
                 "value": round(value, 1),
                 "unit": "audio-s/s/chip",

@@ -334,3 +334,62 @@ def test_native_callback_getters(lib):
         setter(st, cbty(0))
         assert getter(st) is None
     lib.sonicDestroyStream(st)
+
+
+def test_native_cli_dump_and_length_parity(lib, tmp_path):
+    """The native binary's --length two-pass targeting and the three
+    remaining dump flags (--spectrogram_file, --normalized_spectrogram_file,
+    plus --tension_file as the anchor) must match the Python CLI's output
+    on the same input (round-3 verdict item 6; speedy_wave.cc:269,273,275,
+    428-462)."""
+    cli = native._CSRC / "speedy_wave"
+    if not cli.exists():
+        subprocess.run(["make", "-C", str(native._CSRC)], check=True,
+                       capture_output=True)
+    wav = str(testutil.TEST_DATA_DIR / "tapestry.wav")
+
+    def args_for(d):
+        return [
+            "--input", wav, "--output", str(d / "out.wav"),
+            "--speed", "3.0", "--length", "1.5",
+            "--tension_file", str(d / "tension.txt"),
+            "--spectrogram_file", str(d / "spec.txt"),
+            "--normalized_spectrogram_file", str(d / "nspec.txt"),
+        ]
+
+    nat = tmp_path / "native"
+    nat.mkdir()
+    r = subprocess.run([str(cli)] + args_for(nat), capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr
+
+    from speedy_tpu import cli as py_cli
+
+    py = tmp_path / "python"
+    py.mkdir()
+    assert py_cli.main(args_for(py)) == 0
+
+    from speedy_tpu.io import read_wave
+
+    out_n, sr = read_wave(str(nat / "out.wav"))
+    out_p, _ = read_wave(str(py / "out.wav"))
+    # Both runs hit the 1.5 s target (speedy_wave.cc:428-462) and agree
+    # with each other closely (engines share the algorithm, not the fp
+    # accumulation order).
+    assert abs(len(out_n) / sr - 1.5) < 0.1, len(out_n) / sr
+    assert abs(len(out_n) - len(out_p)) < 0.02 * len(out_p)
+
+    for name, rtol in (("tension.txt", 0.0), ("spec.txt", 1e-3),
+                       ("nspec.txt", 1e-3)):
+        a = np.loadtxt(nat / name)
+        b = np.loadtxt(py / name)
+        assert a.shape == b.shape, (name, a.shape, b.shape)
+        if name == "tension.txt":
+            # Same final speed => same frame count; values agree to the
+            # %g dump precision + engine fp noise.
+            np.testing.assert_allclose(a, b, atol=2e-4)
+        else:
+            # Magnitude spectra: compare where values are significant
+            # (tiny bins are relative-noise dominated by design).
+            scale = np.abs(b).max()
+            np.testing.assert_allclose(a, b, atol=rtol * scale)

@@ -97,7 +97,9 @@ def test_analysis_kernel_matches_oracle_16k(tmp_path, monkeypatch):
     # frames). HIGH (the production default, bf16x3) matches everywhere
     # except isolated 40 dB-mask-edge frames — the documented formulation
     # class (CLAUDE.md) — measured 2/306 frames above 1e-4, worst 5.4e-3.
-    # Gate: tight mean + a counted outlier budget, not a blanket atol.
+    # Gate: tight mean + a counted outlier budget, AND every outlier
+    # attributed to the mask-edge class in float64 (a regression on a
+    # non-edge frame fails even inside the count budget).
     for prec, atol, mean_tol, outliers in (
         ("high", 1e-2, 5e-5, 4),
         ("highest", 5e-6, 5e-7, 0),
@@ -112,3 +114,4 @@ def test_analysis_kernel_matches_oracle_16k(tmp_path, monkeypatch):
         assert d.max() < atol and d.mean() < mean_tol and n_big <= outliers, (
             prec, d.max(), d.mean(), n_big,
         )
+        testutil.assert_tension_outliers_are_mask_edges(x, cfg, T, d)

@@ -33,9 +33,12 @@ def load_wave(name: str):
 
 
 def compute_snr(signal: np.ndarray, estimate: np.ndarray) -> float:
-    """speedy_test.cc:807-811 (linear power ratio, not dB)."""
-    err = signal - estimate
-    return float(np.sum(signal**2) / np.sum(err**2))
+    """speedy_test.cc:807-811 (linear power ratio, not dB). Exact matches
+    return inf explicitly instead of warning on the 0/0 divide."""
+    err_power = float(np.sum((signal - estimate) ** 2))
+    if err_power == 0.0:
+        return np.inf
+    return float(np.sum(signal**2) / err_power)
 
 
 def cross_correlation_snr(a: np.ndarray, b: np.ndarray, num_delays: int = 10):
@@ -57,6 +60,73 @@ def best_delay_and_snr(computed: np.ndarray, expected: np.ndarray, num_delays: i
     snrs = cross_correlation_snr(computed, expected, num_delays)
     i = int(np.argmax(snrs))
     return i - num_delays, float(snrs[i])
+
+
+def exact_spectrogram_f64(x: np.ndarray, cfg, T: int) -> np.ndarray:
+    """Float64 magnitude spectrogram of every AddData frame — the exact
+    (rounding-free) reference math for attribution predicates. Mirrors
+    speedy.c:416-474 with integer-step (shim) framing."""
+    from speedy_tpu.ops import framing
+
+    starts = framing.frame_starts(cfg, T, integer_step=True)
+    W = cfg.window_size
+    idx = starts[:, None] + np.arange(W)[None, :]
+    frames = x[np.clip(idx, 0, len(x) - 1)].astype(np.float64)
+    prev_last = x[np.clip(starts[:-1] + W - 1, 0, len(x) - 1)].astype(np.float64)
+    state = np.concatenate([[0.0], prev_last])
+    prev = np.concatenate([state[:, None], frames[:, :-1]], axis=1)
+    pre = frames - 0.97 * prev
+    i = np.arange(W, dtype=np.float64)
+    win = 0.54 - 0.46 * np.cos(2.0 * np.pi * i / (W - 1.0))
+    n = np.arange(W, dtype=np.float64)[:, None]
+    k = np.arange(W + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * n / (2.0 * W)
+    fw = pre * win[None, :]
+    re = fw @ np.cos(ang)
+    im = fw @ (-np.sin(ang))
+    return np.sqrt(re * re + im * im)  # [T, W+1]
+
+
+def assert_tension_outliers_are_mask_edges(
+    x: np.ndarray,
+    cfg,
+    T: int,
+    diffs: np.ndarray,
+    outlier_thresh: float = 1e-4,
+    edge_rel_eps: float = 1e-4,
+):
+    """Attribute HIGH-precision tension outliers to 40 dB mask-edge frames.
+
+    The only documented way bf16x3 (HIGH, ~2^-16 relative rounding) moves
+    tension by more than ~1e-4 is a mask-membership flip: a non-DC bin of
+    the current or previous frame sitting within rounding distance of the
+    40 dB threshold max(cur[1:])/100 (speedy.c:705-709), whose |log-ratio|
+    term then enters/leaves the spectral-difference sum. For every frame
+    with |tension - oracle| > outlier_thresh, recompute the spectrogram in
+    float64 and assert some bin's RELATIVE distance to the threshold is
+    < edge_rel_eps. Probe (experiments/oracle_outlier_probe.py): the two
+    real outliers sit at margins 2.1e-5 / 5.9e-6 while only 5/304 clean
+    frames fall under 1e-4 — a regression elsewhere cannot hide in the
+    budget by chance."""
+    diffs = np.asarray(diffs)
+    out_idx = np.where(diffs > outlier_thresh)[0]
+    if out_idx.size == 0:
+        return
+    spec = exact_spectrogram_f64(np.asarray(x, np.float32), cfg, T)
+    W = spec.shape[1] - 1
+    T_out = diffs.shape[0]
+    cur = spec[:T_out, 1:W]
+    last = np.concatenate([np.zeros((1, W - 1)), spec[: T_out - 1, 1:W]])
+    thresh = cur.max(axis=1, keepdims=True) / 100.0
+    d = np.minimum(np.abs(cur - thresh), np.abs(last - thresh))
+    margins = d.min(axis=1) / thresh[:, 0]
+    for t in out_idx:
+        assert margins[t] < edge_rel_eps, (
+            "tension outlier is NOT a 40 dB mask-edge frame",
+            int(t),
+            float(diffs[t]),
+            float(margins[t]),
+        )
 
 
 def assert_period_flips_are_ties(

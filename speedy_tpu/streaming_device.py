@@ -214,9 +214,13 @@ class DeviceStreamingPipeline:
         # Raw audio must cover the synthesis reach past the segment end.
         return self._fed >= f_hi * self.step + self.back_margin
 
-    def _run_wsola_segment(self, f_hi: int, out_total: Optional[float]):
-        """Synthesize global output slots [S, S_next) using frames up to
-        f_hi; out_total (flush only) caps the emitted samples."""
+    def _prep_wsola_segment(self, f_hi: int, out_total: Optional[float]):
+        """Host-side assembly of one WSOLA segment dispatch: returns
+        (req, meta) where req holds the per-row device inputs (the
+        batchable part — multistream.py stacks N of these into one
+        dispatch) and meta the host bookkeeping _finish_wsola_segment
+        needs. Mutates the phase-re-base state (ordering identical to the
+        former inline form)."""
         Hs, step = self.Hs, self.step
         S = self._S
         S_local0 = max(S - 1, 0)
@@ -260,29 +264,53 @@ class DeviceStreamingPipeline:
             self._pr_base += k_red * p_sh  # float64: exact given f32 p_sh
             phase_ref -= k_red * p_sh
 
+        req = {
+            "seg": seg,
+            "seg_ch": seg_ch if nch > 1 else None,
+            "seg_len": seg_len,
+            "sp": sp,
+            "in_offset": float(f_lo * step - s0),
+            "out_shift": float(S_local0 * Hs - self._obnd_at(f_lo)),
+            "phase_ref": float(phase_ref),
+        }
+        meta = (S, S_local0, S_next, out_total, f_hi, f_lo, nch)
+        return req, meta
+
+    def _wsola_dispatch(self, req):
+        """One single-row device dispatch of a prepared segment request.
+        Overridden by multistream._Lane to route through the shared
+        fixed-shape batched program."""
         res, periods = wsola_fast._wsola_grid_batch(
-            jnp.asarray(seg)[None],
-            jnp.asarray([seg_len], jnp.int32),
-            jnp.asarray(sp)[None],
+            jnp.asarray(req["seg"])[None],
+            jnp.asarray([req["seg_len"]], jnp.int32),
+            jnp.asarray(req["sp"])[None],
             self.cfg.wsola_min_period,
             self.cfg.wsola_max_period,
-            step,
-            Hs,
+            self.step,
+            self.Hs,
             self.capacity,
             self.K_st,
-            xs_channels=jnp.asarray(seg_ch.T)[None] if nch > 1 else None,
-            max_speed_plan=self.max_sb,
-            in_offset=jnp.asarray([f_lo * step - s0], jnp.float32),
-            out_shift=jnp.asarray(
-                [S_local0 * Hs - self._obnd_at(f_lo)], jnp.float32
+            xs_channels=(
+                jnp.asarray(req["seg_ch"].T)[None]
+                if req["seg_ch"] is not None
+                else None
             ),
-            phase_ref=jnp.asarray([phase_ref], jnp.float32),
+            max_speed_plan=self.max_sb,
+            in_offset=jnp.asarray([req["in_offset"]], jnp.float32),
+            out_shift=jnp.asarray([req["out_shift"]], jnp.float32),
+            phase_ref=jnp.asarray([req["phase_ref"]], jnp.float32),
             mask_output=False,
             return_period=True,
         )
-        self._periods_prev = np.asarray(periods[0])
+        return np.asarray(res.output[0]), np.asarray(periods[0])
+
+    def _finish_wsola_segment(self, meta, y: np.ndarray, periods: np.ndarray):
+        """Consume one dispatched segment's output row: emit the owned
+        slots, advance the output clock, prune host buffers."""
+        S, S_local0, S_next, out_total, f_hi, f_lo, nch = meta
+        Hs, step = self.Hs, self.step
+        self._periods_prev = periods
         self._S_local0_prev = S_local0
-        y = np.asarray(res.output[0])  # [cap] mono, [C, cap] multichannel
         emit_from = (S - S_local0) * Hs  # 0 for the first segment, Hs after
         if out_total is None:
             n_emit = (S_next - S) * Hs
@@ -312,6 +340,19 @@ class DeviceStreamingPipeline:
             self._raw = self._raw[keep_raw - self._raw_base :]
             self._raw_base = keep_raw
 
+    def _run_wsola_segment(self, f_hi: int, out_total: Optional[float]):
+        """Synthesize global output slots [S, S_next) using frames up to
+        f_hi; out_total (flush only) caps the emitted samples."""
+        req, meta = self._prep_wsola_segment(f_hi, out_total)
+        y, periods = self._wsola_dispatch(req)
+        self._finish_wsola_segment(meta, y, periods)
+
+    def _chunk_samples(self) -> np.ndarray:
+        """The next analysis chunk's mono samples (chunk index self._k)."""
+        a0 = self._k * self.Ch * self.step
+        a1 = a0 + self.Ch * self.step
+        return self._mono(self._raw[a0 - self._raw_base : a1 - self._raw_base])
+
     def _mono(self, rows: np.ndarray) -> np.ndarray:
         """Channel-average mixdown for analysis (the shim's contract,
         soniclib.c:262-287; matches the multichannel batch engine)."""
@@ -319,12 +360,7 @@ class DeviceStreamingPipeline:
 
     def _pump(self):
         while self._analysis_ready():
-            a0 = self._k * self.Ch * self.step
-            a1 = a0 + self.Ch * self.step
-            samples = self._mono(
-                self._raw[a0 - self._raw_base : a1 - self._raw_base]
-            )
-            self._extend_speeds(self._run_analysis_chunk(samples))
+            self._extend_speeds(self._run_analysis_chunk(self._chunk_samples()))
         while self._segment_ready():
             self._run_wsola_segment(self._f_done + self.Fseg, None)
 
@@ -342,11 +378,9 @@ class DeviceStreamingPipeline:
 
     # ---------- public API ----------
 
-    def feed(self, samples: np.ndarray) -> np.ndarray:
-        """Append audio ([N] mono or [N, C] multichannel; C fixed at the
-        first call); return whatever output became available (same
-        channel shape). Channels are resynthesized with the mixdown-
-        derived positions — the shim's multichannel contract."""
+    def _ingest(self, samples: np.ndarray) -> None:
+        """Append audio to the raw ring without pumping (multistream.py
+        buffers several streams' feeds before one shared pump)."""
         assert not self._flushed, "stream already flushed"
         samples = np.asarray(samples, np.float32)
         if samples.ndim == 1:
@@ -357,6 +391,13 @@ class DeviceStreamingPipeline:
         assert samples.shape[1] == self._channels, "channel count changed"
         self._raw = np.concatenate([self._raw, samples])
         self._fed += len(samples)
+
+    def feed(self, samples: np.ndarray) -> np.ndarray:
+        """Append audio ([N] mono or [N, C] multichannel; C fixed at the
+        first call); return whatever output became available (same
+        channel shape). Channels are resynthesized with the mixdown-
+        derived positions — the shim's multichannel contract."""
+        self._ingest(samples)
         self._pump()
         return self._drain()
 
@@ -387,12 +428,7 @@ class DeviceStreamingPipeline:
                 ]
             )
         while self._k < n_chunks:
-            a0 = self._k * self.Ch * self.step
-            a1 = a0 + self.Ch * self.step
-            samples = self._mono(
-                self._raw[a0 - self._raw_base : a1 - self._raw_base]
-            )
-            t = self._run_analysis_chunk(samples)
+            t = self._run_analysis_chunk(self._chunk_samples())
             t = t[: max(0, T_out - self._t_emitted)]
             self._extend_speeds(t)
         # Total WSOLA frames = the shim's full-frame count; speeds beyond

@@ -1,0 +1,204 @@
+"""Gates for concurrent multi-stream serving (speedy_tpu/multistream.py):
+per-stream outputs BIT-IDENTICAL to a standalone DeviceStreamingPipeline,
+work genuinely multiplexed into shared fixed-shape dispatches, slot
+lifecycle, per-stream rates, and multichannel lanes.
+
+The bit-equality gate is the load-bearing one: every contract the
+single-stream pipeline carries (seam exactness, Teager glitch gates,
+flush semantics, batch-engine equivalence — tests/test_streaming_device.py)
+transfers to every lane for free once outputs are bitwise equal."""
+
+import numpy as np
+import pytest
+
+from speedy_tpu.config import SpeedyConfig
+from speedy_tpu.multistream import MultiStreamPipeline
+from speedy_tpu.streaming_device import DeviceStreamingPipeline
+
+CFG16 = SpeedyConfig(16000)
+KW = dict(chunk_frames=64, segment_frames=128)
+
+
+def speechlike(seconds=6.0, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    f0 = 130.0 + 35.0 * np.sin(2 * np.pi * 0.5 * t)
+    phase = np.cumsum(2 * np.pi * f0 / sr)
+    voiced = sum(np.sin(k * phase) / k for k in range(1, 6))
+    env = np.clip(np.sin(2 * np.pi * 2.7 * t), 0, None)
+    return (voiced * env * 0.3 + 0.002 * rng.standard_normal(t.size)).astype(
+        np.float32
+    )
+
+
+def single_stream_ref(x, speed, feed_chunk=17000, **kw):
+    pipe = DeviceStreamingPipeline(CFG16, speed, **kw)
+    return pipe.process(np.asarray(x), feed_chunk=feed_chunk)
+
+
+def test_multistream_bitwise_matches_single_stream():
+    """Four staggered streams of different lengths/content through shared
+    dispatches: each stream's output must be BIT-IDENTICAL to its own
+    standalone DeviceStreamingPipeline run — and the dispatch counters
+    must show real multiplexing (chunks per dispatch well above 1)."""
+    xs = [speechlike(4.0 + i, seed=i) for i in range(4)]
+    refs = [single_stream_ref(x, 3.0, **KW) for x in xs]
+
+    ms = MultiStreamPipeline(CFG16, 3.0, n_streams=4, **KW)
+    sids = [ms.open() for _ in xs]
+    outs = {s: [] for s in sids}
+    pos = [0] * 4
+    chunk = 17000
+    while any(pos[i] < len(xs[i]) for i in range(4)):
+        pairs = []
+        for i in range(4):
+            if pos[i] < len(xs[i]):
+                pairs.append((sids[i], xs[i][pos[i] : pos[i] + chunk]))
+                pos[i] += chunk
+        for s, y in ms.feed_many(pairs).items():
+            outs[s].append(y)
+    for s in sids:
+        outs[s].append(ms.flush(s))
+
+    for i, s in enumerate(sids):
+        y = np.concatenate(outs[s])
+        np.testing.assert_array_equal(y, refs[i], err_msg=f"stream {i}")
+
+    # Multiplexing actually happened: while all four streams were live,
+    # each chunk dispatch carried ~4 chunks (the tail/flush rounds carry
+    # fewer as shorter streams drain — require a clear aggregate ratio).
+    ratio = ms.stats["chunks_processed"] / ms.stats["chunk_dispatches"]
+    assert ratio > 2.0, ms.stats
+    assert ms.stats["segments_processed"] > ms.stats["segment_dispatches"], ms.stats
+    assert ms.n_active == 0
+
+
+def test_multistream_per_stream_rates_and_set_speed():
+    """Streams at different rates share dispatches; a mid-stream
+    set_speed on one lane matches the single-stream pipeline exactly."""
+    x = speechlike(6.0, seed=11)
+    rates = [2.0, 3.0, 4.0]
+    # Plan bounds must cover every rate (the shared-plan contract).
+    from speedy_tpu.parallel.batch import _plan_max_speed
+
+    max_sb = max(_plan_max_speed(r, 1.0) for r in rates)
+    mk = dict(KW, max_speed_bound=max_sb)
+
+    refs = []
+    for r in rates:
+        p = DeviceStreamingPipeline(CFG16, r, min_speed_bound=1.0, **mk)
+        a = p.feed(x[:48000])
+        p.set_speed(r + 0.5)
+        b = p.feed(x[48000:])
+        c = p.flush()
+        refs.append(np.concatenate([a, b, c]))
+
+    ms = MultiStreamPipeline(
+        CFG16, 3.0, n_streams=3, min_speed_bound=1.0, **mk
+    )
+    sids = [ms.open(r) for r in rates]
+    outs = {s: [ms.feed(s, x[:48000])] for s in sids}
+    for s, r in zip(sids, rates):
+        ms.set_speed(s, r + 0.5)
+    for s in sids:
+        outs[s].append(ms.feed(s, x[48000:]))
+    for s in sids:
+        outs[s].append(ms.flush(s))
+    for i, s in enumerate(sids):
+        np.testing.assert_array_equal(
+            np.concatenate(outs[s]), refs[i], err_msg=f"rate {rates[i]}"
+        )
+
+
+def test_multistream_slot_lifecycle():
+    """Slot exhaustion raises; flushed slots are reusable and the reused
+    slot's output is untainted by its previous occupant (the k==0 fresh-
+    carry rule); out-of-plan rates are rejected."""
+    x = speechlike(3.0, seed=5)
+    ref = single_stream_ref(x, 3.0, **KW)
+
+    ms = MultiStreamPipeline(CFG16, 3.0, n_streams=2, **KW)
+    a = ms.open()
+    b = ms.open()
+    with pytest.raises(RuntimeError, match="busy"):
+        ms.open()
+    with pytest.raises(ValueError, match="plan bounds"):
+        ms.open(9.0)
+    with pytest.raises(KeyError):
+        ms.feed(7, x)
+
+    # Occupy slot a with different audio, flush, reopen, run x.
+    ya = np.concatenate([ms.feed(a, speechlike(2.0, seed=99)), ms.flush(a)])
+    assert len(ya) > 0
+    a2 = ms.open()
+    assert a2 == a  # the freed slot is reused
+    y = np.concatenate([ms.feed(a2, x), ms.flush(a2)])
+    np.testing.assert_array_equal(y, ref)
+    # Lane b was live throughout; it still finishes correctly.
+    yb = np.concatenate([ms.feed(b, x), ms.flush(b)])
+    np.testing.assert_array_equal(yb, ref)
+
+
+def test_multistream_early_flush_interleaved():
+    """One lane flushes while another keeps streaming: the survivor's
+    output is unaffected (flush runs masked single-lane dispatches
+    against the same shared state)."""
+    x_long = speechlike(7.0, seed=2)
+    x_short = speechlike(2.0, seed=3)
+    ref_long = single_stream_ref(x_long, 3.0, **KW)
+    ref_short = single_stream_ref(x_short, 3.0, **KW)
+
+    ms = MultiStreamPipeline(CFG16, 3.0, n_streams=2, **KW)
+    sl = ms.open()
+    ss = ms.open()
+    out_l = [ms.feed(sl, x_long[:40000])]
+    out_s = [ms.feed(ss, x_short)]
+    out_s.append(ms.flush(ss))  # short stream ends mid-long-stream
+    out_l.append(ms.feed(sl, x_long[40000:]))
+    out_l.append(ms.flush(sl))
+    np.testing.assert_array_equal(np.concatenate(out_s), ref_short)
+    np.testing.assert_array_equal(np.concatenate(out_l), ref_long)
+
+
+def test_multistream_stereo():
+    """Multichannel lanes: a stereo pipeline's per-stream output matches
+    the standalone stereo pipeline bit-for-bit."""
+    x = speechlike(4.0, seed=7)
+    stereo = np.stack([x, 0.7 * np.roll(x, 23)], axis=1)
+    p = DeviceStreamingPipeline(CFG16, 3.0, **KW)
+    ref = p.process(stereo, feed_chunk=20000)
+
+    ms = MultiStreamPipeline(CFG16, 3.0, n_streams=2, channels=2, **KW)
+    s0 = ms.open()
+    s1 = ms.open()
+    outs0 = [ms.feed(s0, stereo[:20000]), ms.feed(s0, stereo[20000:])]
+    outs1 = [ms.feed(s1, stereo)]
+    outs0.append(ms.flush(s0))
+    outs1.append(ms.flush(s1))
+    y0 = np.concatenate(outs0)
+    y1 = np.concatenate(outs1)
+    np.testing.assert_array_equal(y0, ref)
+    np.testing.assert_array_equal(y1, ref)
+
+
+def test_multistream_feed_chunking_invariance():
+    """Like the single-stream gate: output is bit-identical regardless of
+    how feeds are chunked or interleaved across lanes."""
+    x = speechlike(5.0, seed=13)
+    runs = []
+    for chunks in ((9000, 31000, len(x) - 40000), (len(x),)):
+        ms = MultiStreamPipeline(CFG16, 3.0, n_streams=2, **KW)
+        s = ms.open()
+        # A second lane streams noise concurrently to perturb scheduling.
+        s2 = ms.open()
+        rng = np.random.default_rng(0)
+        outs = []
+        pos = 0
+        for c in chunks:
+            outs.append(ms.feed(s, x[pos : pos + c]))
+            ms.feed(s2, (0.01 * rng.standard_normal(12345)).astype(np.float32))
+            pos += c
+        outs.append(ms.flush(s))
+        ms.flush(s2)
+        runs.append(np.concatenate(outs))
+    np.testing.assert_array_equal(runs[0], runs[1])

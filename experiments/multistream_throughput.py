@@ -1,0 +1,102 @@
+"""Measure MultiStreamPipeline's concurrent serving rate on the real
+chip: N live 16 kHz streams fed in 1 s chunks through shared fixed-shape
+dispatches, reporting the steady-state AGGREGATE audio-s/s and the
+per-round latency distribution.
+
+The single-stream pipeline measures ~10 audio-s/s (relay's fixed ~30 ms
+execute floor dominates B=1 serving — experiments/streaming_throughput.py).
+Multiplexing N streams into one dispatch amortizes that floor N ways, so
+aggregate rate should scale ~linearly until device compute or host
+assembly catches up. Verdict round-3 target: 32 streams >= 50x the
+single-stream aggregate (>= 500 audio-s/s).
+
+Content differs per stream and per feed (re-randomized inputs — the
+relay serves identical inputs from a cache; CLAUDE.md measurement rules);
+outputs are fetched to host by the pipeline itself (np.asarray on every
+dispatch), so wall-clock includes real device work + transfers.
+
+Run: python experiments/multistream_throughput.py
+Env: NSTREAMS (default 32), SECS (default 60), RATE (3.5),
+     SEG (segment_frames, 512), CH (chunk_frames, 128)
+"""
+import os, sys, time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import numpy as np
+
+from speedy_tpu.config import SpeedyConfig
+from speedy_tpu.multistream import MultiStreamPipeline
+
+SR = 16000
+N = int(os.environ.get("NSTREAMS", "32"))
+SECS = int(os.environ.get("SECS", "60"))
+RATE = float(os.environ.get("RATE", "3.5"))
+SEG = int(os.environ.get("SEG", "512"))
+CH = int(os.environ.get("CH", "128"))
+FEED = SR  # 1 s per stream per round
+cfg = SpeedyConfig(SR)
+
+
+def stream_audio(seed, secs):
+    rng = np.random.default_rng(seed)
+    t = np.arange(SR * secs) / SR
+    f0 = 110.0 + 40.0 * rng.random() + 30.0 * np.sin(2 * np.pi * 0.5 * t)
+    x = (
+        sum(np.sin(k * np.cumsum(2 * np.pi * f0 / SR)) / k for k in range(1, 5))
+        * np.clip(np.sin(2 * np.pi * (1.5 + rng.random()) * t), 0, None)
+        * 0.3
+        + 0.003 * rng.standard_normal(t.size)
+    ).astype(np.float32)
+    return x
+
+
+xs = [stream_audio(100 + i, SECS) for i in range(N)]
+
+ms = MultiStreamPipeline(
+    cfg, RATE, n_streams=N, chunk_frames=CH, segment_frames=SEG
+)
+sids = [ms.open() for _ in range(N)]
+
+# Warm-up: enough rounds to emit >= 2 full segments on every lane (the
+# first chunk/segment dispatches compile the shared [N, ...] programs).
+seg_samples = SEG * cfg.frame_step_int
+warm_rounds = (2 * seg_samples) // FEED + 2
+pos = 0
+for r in range(warm_rounds):
+    ms.feed_many([(s, xs[i][pos : pos + FEED]) for i, s in enumerate(sids)])
+    pos += FEED
+print(f"warmed {warm_rounds} rounds ({pos / SR:.0f} s/stream)", flush=True)
+
+snap = dict(ms.stats)
+lat = []
+t0 = time.perf_counter()
+fed = 0
+while pos + FEED <= len(xs[0]):
+    r0 = time.perf_counter()
+    ms.feed_many([(s, xs[i][pos : pos + FEED]) for i, s in enumerate(sids)])
+    lat.append(time.perf_counter() - r0)
+    pos += FEED
+    fed += FEED * N
+dt = time.perf_counter() - t0
+for s in sids:
+    ms.flush(s)  # excluded from the steady-state window (one-time drain)
+
+lat = np.asarray(lat)
+agg = fed / SR / dt
+d_ch = ms.stats["chunk_dispatches"] - snap["chunk_dispatches"]
+d_sg = ms.stats["segment_dispatches"] - snap["segment_dispatches"]
+w_ch = ms.stats["chunks_processed"] - snap["chunks_processed"]
+w_sg = ms.stats["segments_processed"] - snap["segments_processed"]
+print(
+    f"N={N} rate={RATE} seg={SEG} ch={CH}: {agg:8.1f} audio-s/s aggregate "
+    f"({fed / SR:.0f} audio-s in {dt:.2f} s wall; {agg / N:.1f} per stream)"
+)
+print(
+    f"  per-1s-round latency: p50 {np.percentile(lat, 50)*1e3:.1f} ms  "
+    f"p90 {np.percentile(lat, 90)*1e3:.1f} ms  "
+    f"p99 {np.percentile(lat, 99)*1e3:.1f} ms  max {lat.max()*1e3:.1f} ms"
+)
+print(
+    f"  dispatches: {d_ch} chunk ({w_ch / max(d_ch,1):.1f} chunks each), "
+    f"{d_sg} segment ({w_sg / max(d_sg,1):.1f} segments each)"
+)

@@ -771,6 +771,8 @@ class CorpusEngine:
         tp: int = 1,
         capacity_factor: Optional[float] = None,
         long_utterance_samples: Optional[int] = 1 << 19,
+        stream_batch: int = 8,
+        stream_kw: Optional[dict] = None,
     ):
         self.cfg = cfg
         self.global_speed = float(global_speed)
@@ -789,22 +791,38 @@ class CorpusEngine:
         # batched engine's output clock is an f32 cumsum (drift ~sqrt(F)
         # ulps) and its time map is O(K*F), so minutes-long files belong
         # to streaming, not ever-doubling padded buckets. 2^19 samples =
-        # ~33 s at 16 kHz. NOTE the streamed path is single-stream:
-        # use_mesh/tp/capacity_factor do not apply to those utterances
-        # and their samples differ from the batch engine's at float
-        # rounding level (gated to max|d| < 5e-3 vs batch). None
-        # disables rerouting (everything stays in padded buckets).
+        # ~33 s at 16 kHz. NOTE use_mesh/tp/capacity_factor do not apply
+        # to streamed utterances and their samples differ from the batch
+        # engine's at float rounding level (gated to max|d| < 5e-3 vs
+        # batch). None disables rerouting (everything stays in padded
+        # buckets).
         self.long_utterance_samples = (
             None if long_utterance_samples is None else int(long_utterance_samples)
         )
+        # Long utterances stream CONCURRENTLY through a shared
+        # MultiStreamPipeline (stream_batch lanes, shared fixed-shape
+        # dispatches — per-lane outputs are bit-identical to the
+        # single-stream pipeline, gated in tests/test_multistream.py).
+        # stream_batch=1 restores the serial single-stream path.
+        # stream_kw forwards chunk_frames/segment_frames overrides to
+        # both streaming paths (testing/tuning knob).
+        self.stream_batch = max(1, int(stream_batch))
+        self.stream_kw = dict(stream_kw or {})
+        self._ms = None  # lazily-built, reused across process() calls
         # Observability (reset per process() call): batches dispatched,
         # utterances that hit the rate-derived cap and were retried,
-        # retry batches dispatched, utterances routed to streaming.
+        # retry batches dispatched, utterances routed to streaming, and
+        # the streamed path's dispatch/work counters (shared-dispatch
+        # multiplexing shows as work >> dispatches).
         self.stats = {
             "batches": 0,
             "capacity_retries": 0,
             "retry_batches": 0,
             "streamed_long": 0,
+            "stream_chunk_dispatches": 0,
+            "stream_chunks": 0,
+            "stream_segment_dispatches": 0,
+            "stream_segments": 0,
         }
 
     @staticmethod
@@ -829,10 +847,68 @@ class CorpusEngine:
             self.global_speed,
             self.nonlinear_factor,
             self.feedback,
+            **self.stream_kw,
         )
         head = pipe.feed(self._to_float(u))
         tail = pipe.flush()
         return np.concatenate([head, tail])
+
+    def _get_multistream(self):
+        if self._ms is None:
+            from ..multistream import MultiStreamPipeline
+
+            self._ms = MultiStreamPipeline(
+                self.cfg,
+                self.global_speed,
+                n_streams=self.stream_batch,
+                nonlinear_factor=self.nonlinear_factor,
+                duration_feedback_strength=self.feedback,
+                **self.stream_kw,
+            )
+        return self._ms
+
+    def _process_streaming_many(self, items) -> dict:
+        """Stream several long utterances CONCURRENTLY: a slot-recycling
+        work queue over the shared MultiStreamPipeline — every lane's
+        chunks/segments ride the same fixed-shape dispatches, so M long
+        files cost ~M/stream_batch of the serial path's dispatch floor.
+        items: [(result index, raw utterance)]; returns {index: output}.
+        Per-utterance outputs are bit-identical to the single-stream
+        path (the multistream equality gate)."""
+        from collections import deque
+
+        ms = self._get_multistream()
+        snap = dict(ms.stats)
+        feed = ms.Fseg * ms.step  # one segment's samples per round
+        queue = deque(items)
+        active = {}  # sid -> [result index, float audio, position, outs]
+        results: dict = {}
+        while queue or active:
+            while queue and ms.n_active < ms.n_slots:
+                j, u = queue.popleft()
+                active[ms.open()] = [j, self._to_float(u), 0, []]
+            pairs = []
+            for sid, st in active.items():
+                pairs.append((sid, st[1][st[2] : st[2] + feed]))
+                st[2] += feed
+            drains = ms.feed_many(pairs)
+            done = []
+            for sid, st in active.items():
+                st[3].append(drains[sid])
+                if st[2] >= len(st[1]):
+                    st[3].append(ms.flush(sid))
+                    results[st[0]] = np.concatenate(st[3])
+                    done.append(sid)
+            for sid in done:
+                del active[sid]
+        for k_ms, k_st in (
+            ("chunk_dispatches", "stream_chunk_dispatches"),
+            ("chunks_processed", "stream_chunks"),
+            ("segment_dispatches", "stream_segment_dispatches"),
+            ("segments_processed", "stream_segments"),
+        ):
+            self.stats[k_st] += ms.stats[k_ms] - snap[k_ms]
+        return results
 
     def _run_bucket(self, xs, lengths, capacity_factor):
         step_fn = compile_batch_step(
@@ -857,16 +933,29 @@ class CorpusEngine:
 
         # Very long utterances -> streaming pipeline (bounded memory, no
         # padded power-of-two bucket, exact-seam continuation engine).
+        # Several of them stream CONCURRENTLY in shared dispatches via
+        # MultiStreamPipeline (multichannel long files take the
+        # single-stream path — the shared multistream plan is mono here).
         batched_idx = []
+        long_mono = []
         for j, u in enumerate(utterances):
             if (
                 self.long_utterance_samples is not None
                 and len(u) > self.long_utterance_samples
             ):
-                results[j] = self._process_streaming(u)
                 self.stats["streamed_long"] += 1
+                if self.stream_batch > 1 and np.asarray(u).ndim == 1:
+                    long_mono.append((j, u))
+                else:
+                    results[j] = self._process_streaming(u)
             else:
                 batched_idx.append(j)
+        if len(long_mono) == 1:
+            j, u = long_mono[0]
+            results[j] = self._process_streaming(u)
+        elif long_mono:
+            for j, y in self._process_streaming_many(long_mono).items():
+                results[j] = y
 
         order = sorted(batched_idx, key=lambda j: len(utterances[j]))
         # (bucket_L) -> list of (result index, padded row, length): inputs

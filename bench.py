@@ -33,7 +33,152 @@ import time
 import numpy as np
 
 
+def corpus_main():
+    """Corpus-level throughput: the honest PRODUCT number. Runs
+    CorpusEngine.process end-to-end on hardware over a synthesized
+    variable-length corpus — including host staging, bucketing, padding
+    waste, capacity retries, per-batch dispatch floors, and the
+    long-utterance streaming route — and attributes the gap to the
+    batched kernel ceiling (the headline bench measures a resident
+    static-shape inner scan; this measures the serving wrapper).
+
+    Knobs: SPEEDY_BENCH_CORPUS_N (utterance count, default 256),
+    SPEEDY_BENCH_SR, SPEEDY_BENCH_BATCH, SPEEDY_BENCH_CAP_FACTOR,
+    SPEEDY_BENCH_STREAMB (long-utterance stream lanes, default 8).
+    Writes the figure + attribution to CORPUS_BENCH.json as well.
+
+    Measurement notes: the warm pass runs a content-DISTINCT corpus with
+    the identical length profile, so every bucket shape is compiled (and
+    the persistent cache hit) before the timed pass, while the relay's
+    result cache can never serve a timed batch (inputs differ).
+    process() returns host arrays, so the wall clock closes only after
+    every output byte is back on the host."""
+    import jax
+
+    from speedy_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
+    from speedy_tpu.config import SpeedyConfig
+    from speedy_tpu.parallel.batch import CorpusEngine
+
+    sample_rate = int(os.environ.get("SPEEDY_BENCH_SR", "16000"))
+    cfg = SpeedyConfig(sample_rate)
+    n_utt = int(os.environ.get("SPEEDY_BENCH_CORPUS_N", "256"))
+    batch = int(os.environ.get("SPEEDY_BENCH_BATCH", "128"))
+    cap_factor = float(os.environ.get("SPEEDY_BENCH_CAP_FACTOR", "1.33")) or None
+    stream_b = int(os.environ.get("SPEEDY_BENCH_STREAMB", "8"))
+    n_dev = jax.device_count()
+
+    # Length profile: log-uniform 2-30 s (typical utterance corpus) plus
+    # 8 long outliers 40-90 s that exceed the 2^19-sample batch-engine
+    # bound and exercise the concurrent streaming route.
+    rng = np.random.default_rng(7)
+    durs = np.exp(rng.uniform(np.log(2.0), np.log(30.0), size=n_utt))
+    n_long = min(8, max(1, n_utt // 32))
+    durs[:n_long] = rng.uniform(40.0, 90.0, size=n_long)
+    rng.shuffle(durs)
+
+    def synth_corpus(seed):
+        r = np.random.default_rng(seed)
+        utts = []
+        for d in durs:
+            L = int(d * sample_rate)
+            t = np.arange(L) / sample_rate
+            f0 = r.uniform(100, 240) + 30 * np.sin(2 * np.pi * r.uniform(0.4, 1.2) * t)
+            phase = np.cumsum(2 * np.pi * f0 / sample_rate)
+            x = (
+                sum(np.sin(k * phase) / k for k in range(1, 5))
+                * np.clip(np.sin(2 * np.pi * r.uniform(1.5, 3.5) * t), 0, None)
+                * 0.25
+                + 0.003 * r.standard_normal(L)
+            ).astype(np.float32)
+            utts.append(x)
+        return utts
+
+    eng = CorpusEngine(
+        cfg,
+        3.5,
+        batch_size=batch,
+        use_mesh=os.environ.get("SPEEDY_BENCH_NO_MESH", "0") != "1",
+        capacity_factor=cap_factor,
+        stream_batch=stream_b,
+    )
+
+    warm = synth_corpus(1)
+    t0 = time.perf_counter()
+    eng.process(warm)  # compiles every bucket shape (untimed pass)
+    warm_dt = time.perf_counter() - t0
+    warm_stats = dict(eng.stats)
+
+    corpus = synth_corpus(2)
+    total_audio = sum(len(u) for u in corpus) / sample_rate
+    t0 = time.perf_counter()
+    results = eng.process(corpus)
+    dt = time.perf_counter() - t0
+    assert all(len(y) > 0 for y in results)
+    out_audio = sum(len(y) for y in results) / sample_rate
+
+    # Attribution: padded audio actually dispatched through the batch
+    # engine (bucket quantization + sorted batching), the long-utterance
+    # share, and the per-execute dispatch floor.
+    idx_long = [
+        i
+        for i, u in enumerate(corpus)
+        if eng.long_utterance_samples is not None
+        and len(u) > eng.long_utterance_samples
+    ]
+    long_audio = sum(len(corpus[i]) for i in idx_long) / sample_rate
+    short = sorted(
+        (len(corpus[i]) for i in range(n_utt) if i not in set(idx_long))
+    )
+    padded_audio = 0.0
+    for i in range(0, len(short), batch):
+        chunk = short[i : i + batch]
+        padded_audio += (
+            CorpusEngine._bucket_length(max(chunk)) * len(chunk) / sample_rate
+        )
+    n_disp = eng.stats["batches"] + eng.stats["retry_batches"]
+    stream_disp = (
+        eng.stats["stream_chunk_dispatches"]
+        + eng.stats["stream_segment_dispatches"]
+    )
+    value = total_audio / dt / max(n_dev, 1)
+    attribution = {
+        "total_audio_s": round(total_audio, 1),
+        "output_audio_s": round(out_audio, 1),
+        "batched_audio_s": round(total_audio - long_audio, 1),
+        "padded_audio_s": round(padded_audio, 1),
+        "padding_overhead": round(padded_audio / max(total_audio - long_audio, 1e-9) - 1, 3),
+        "long_streamed_audio_s": round(long_audio, 1),
+        "stats": dict(eng.stats),
+        "batch_dispatches": n_disp,
+        "stream_dispatches": stream_disp,
+        "est_dispatch_floor_s": round(0.03 * (n_disp + stream_disp), 2),
+        "wall_s": round(dt, 3),
+        "warm_wall_s": round(warm_dt, 3),
+        "warm_stats": warm_stats,
+    }
+    print("corpus attribution: " + json.dumps(attribution), file=sys.stderr)
+    line = {
+        "metric": (
+            "corpus audio-seconds/sec/chip at 3.5x nonlinear speedup "
+            f"({sample_rate / 1000:g} kHz, CorpusEngine end-to-end, "
+            f"{n_utt} utts 2-90 s)"
+        ),
+        "value": round(value, 1),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / 1000.0, 3),
+    }
+    print(json.dumps(line))
+    with open(os.path.join(os.path.dirname(__file__) or ".", "CORPUS_BENCH.json"), "w") as f:
+        json.dump({**line, "attribution": attribution}, f, indent=1)
+    return 0
+
+
 def main():
+    if os.environ.get("SPEEDY_BENCH_CORPUS", "0") == "1":
+        return corpus_main()
     import jax
 
     # Persistent compilation cache: the scan-window program costs minutes

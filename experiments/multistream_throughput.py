@@ -17,7 +17,8 @@ dispatch), so wall-clock includes real device work + transfers.
 
 Run: python experiments/multistream_throughput.py
 Env: NSTREAMS (default 32), SECS (default 60), RATE (3.5),
-     SEG (segment_frames, 512), CH (chunk_frames, 128)
+     SEG (segment_frames, 512), CH (chunk_frames, 128),
+     FEED_S (seconds fed per stream per round, 1)
 """
 import os, sys, time
 
@@ -33,7 +34,7 @@ SECS = int(os.environ.get("SECS", "60"))
 RATE = float(os.environ.get("RATE", "3.5"))
 SEG = int(os.environ.get("SEG", "512"))
 CH = int(os.environ.get("CH", "128"))
-FEED = SR  # 1 s per stream per round
+FEED = int(float(os.environ.get("FEED_S", "1")) * SR)  # per stream per round
 cfg = SpeedyConfig(SR)
 
 
@@ -88,7 +89,8 @@ d_sg = ms.stats["segment_dispatches"] - snap["segment_dispatches"]
 w_ch = ms.stats["chunks_processed"] - snap["chunks_processed"]
 w_sg = ms.stats["segments_processed"] - snap["segments_processed"]
 print(
-    f"N={N} rate={RATE} seg={SEG} ch={CH}: {agg:8.1f} audio-s/s aggregate "
+    f"N={N} rate={RATE} seg={SEG} ch={CH} feed={FEED/SR:g}s: "
+    f"{agg:8.1f} audio-s/s aggregate "
     f"({fed / SR:.0f} audio-s in {dt:.2f} s wall; {agg / N:.1f} per stream)"
 )
 print(

@@ -1,29 +1,36 @@
 """Measure MultiStreamPipeline's concurrent serving rate on the real
-chip: N live 16 kHz streams fed in 1 s chunks through shared fixed-shape
-dispatches, reporting the steady-state AGGREGATE audio-s/s and the
-per-round latency distribution.
+chip: N live 16 kHz streams fed in FEED_S-second chunks through shared
+fixed-shape dispatches, reporting the steady-state AGGREGATE audio-s/s,
+the per-round latency distribution, and the wire-byte ledger.
 
-The single-stream pipeline measures ~10 audio-s/s (relay's fixed ~30 ms
-execute floor dominates B=1 serving — experiments/streaming_throughput.py).
-Multiplexing N streams into one dispatch amortizes that floor N ways, so
-aggregate rate should scale ~linearly until device compute or host
-assembly catches up. Verdict round-3 target: 32 streams >= 50x the
-single-stream aggregate (>= 500 audio-s/s).
+The single-stream pipeline measures ~10 audio-s/s (relay's fixed ~27 ms
+round-trip floor dominates B=1 serving — experiments/
+streaming_throughput.py). Round-4 verdict target: 32 streams >= 50x the
+single-stream aggregate (>= 500 audio-s/s). The wire is the binding
+resource (relay_wire_probe.py: ~40 MB/s up, ~35 down, no overlap), so
+the round-4 pipeline keeps audio device-resident (one upload per sample)
+and ships PCM int16 both ways by default here (WIRE=float32 for the
+f32 wire; the pipeline's own default stays float32).
 
 Content differs per stream and per feed (re-randomized inputs — the
 relay serves identical inputs from a cache; CLAUDE.md measurement rules);
-outputs are fetched to host by the pipeline itself (np.asarray on every
-dispatch), so wall-clock includes real device work + transfers.
+outputs are fetched to host by the pipeline itself on every dispatch, so
+wall-clock includes real device work + transfers.
 
 Run: python experiments/multistream_throughput.py
-Env: NSTREAMS (default 32), SECS (default 60), RATE (3.5),
-     SEG (segment_frames, 512), CH (chunk_frames, 128),
-     FEED_S (seconds fed per stream per round, 1)
+Env: NSTREAMS (default 32), SECS (audio seconds per stream, 60),
+     RATE (3.5), SEG (segment_frames, 512), CH (chunk_frames, 128),
+     FEED_S (seconds fed per stream per round, 4), WIRE (int16|float32,
+     default int16)
 """
 import os, sys, time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
+
+from speedy_tpu.profiling import enable_compile_cache
+
+enable_compile_cache()
 
 from speedy_tpu.config import SpeedyConfig
 from speedy_tpu.multistream import MultiStreamPipeline
@@ -34,7 +41,8 @@ SECS = int(os.environ.get("SECS", "60"))
 RATE = float(os.environ.get("RATE", "3.5"))
 SEG = int(os.environ.get("SEG", "512"))
 CH = int(os.environ.get("CH", "128"))
-FEED = int(float(os.environ.get("FEED_S", "1")) * SR)  # per stream per round
+FEED = int(float(os.environ.get("FEED_S", "4")) * SR)  # per stream per round
+WIRE = os.environ.get("WIRE", "int16")
 cfg = SpeedyConfig(SR)
 
 
@@ -48,13 +56,16 @@ def stream_audio(seed, secs):
         * 0.3
         + 0.003 * rng.standard_normal(t.size)
     ).astype(np.float32)
+    if WIRE == "int16":
+        return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
     return x
 
 
 xs = [stream_audio(100 + i, SECS) for i in range(N)]
 
 ms = MultiStreamPipeline(
-    cfg, RATE, n_streams=N, chunk_frames=CH, segment_frames=SEG
+    cfg, RATE, n_streams=N, chunk_frames=CH, segment_frames=SEG,
+    wire_dtype=WIRE, max_feed_samples=max(131072, FEED),
 )
 sids = [ms.open() for _ in range(N)]
 
@@ -84,21 +95,25 @@ for s in sids:
 
 lat = np.asarray(lat)
 agg = fed / SR / dt
-d_ch = ms.stats["chunk_dispatches"] - snap["chunk_dispatches"]
-d_sg = ms.stats["segment_dispatches"] - snap["segment_dispatches"]
-w_ch = ms.stats["chunks_processed"] - snap["chunks_processed"]
-w_sg = ms.stats["segments_processed"] - snap["segments_processed"]
+d = {k: ms.stats[k] - snap[k] for k in ms.stats}
 print(
-    f"N={N} rate={RATE} seg={SEG} ch={CH} feed={FEED/SR:g}s: "
+    f"N={N} rate={RATE} seg={SEG} ch={CH} feed={FEED/SR:g}s wire={WIRE}: "
     f"{agg:8.1f} audio-s/s aggregate "
     f"({fed / SR:.0f} audio-s in {dt:.2f} s wall; {agg / N:.1f} per stream)"
 )
 print(
-    f"  per-1s-round latency: p50 {np.percentile(lat, 50)*1e3:.1f} ms  "
+    f"  per-{FEED/SR:g}s-round latency: p50 {np.percentile(lat, 50)*1e3:.1f} ms  "
     f"p90 {np.percentile(lat, 90)*1e3:.1f} ms  "
     f"p99 {np.percentile(lat, 99)*1e3:.1f} ms  max {lat.max()*1e3:.1f} ms"
 )
 print(
-    f"  dispatches: {d_ch} chunk ({w_ch / max(d_ch,1):.1f} chunks each), "
-    f"{d_sg} segment ({w_sg / max(d_sg,1):.1f} segments each)"
+    f"  dispatches: {d['write_rounds']} rounds, {d['chunk_dispatches']} chunk "
+    f"({d['chunks_processed'] / max(d['chunk_dispatches'],1):.1f} chunks each), "
+    f"{d['segment_dispatches']} segment "
+    f"({d['segments_processed'] / max(d['segment_dispatches'],1):.1f} segments each), "
+    f"{d['ring_fallbacks']} ring fallbacks"
+)
+print(
+    f"  wire: {d['bytes_up']/1e6:.1f} MB up, {d['bytes_down']/1e6:.1f} MB down "
+    f"({(d['bytes_up']+d['bytes_down'])/(fed/SR)/1e3:.1f} KB per audio-s)"
 )

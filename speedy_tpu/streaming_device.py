@@ -264,6 +264,15 @@ class DeviceStreamingPipeline:
             self._pr_base += k_red * p_sh  # float64: exact given f32 p_sh
             phase_ref -= k_red * p_sh
 
+        # out_need: the exact output-row prefix _finish_wsola_segment
+        # will read (emit_from + n_emit) — lets the multistream ring
+        # dispatch ship a rate-derived trim instead of plan capacity.
+        if out_total is None:
+            out_need = (S_next - S_local0) * Hs
+        else:
+            out_need = (S - S_local0) * Hs + max(
+                0, int(round(out_total)) - S * Hs
+            )
         req = {
             "seg": seg,
             "seg_ch": seg_ch if nch > 1 else None,
@@ -272,6 +281,13 @@ class DeviceStreamingPipeline:
             "in_offset": float(f_lo * step - s0),
             "out_shift": float(S_local0 * Hs - self._obnd_at(f_lo)),
             "phase_ref": float(phase_ref),
+            # Ring-dispatch sourcing (multistream.py): the absolute
+            # window start, the zeroing bounds the host builder applied,
+            # and the emit prefix bound.
+            "s0": int(s0),
+            "src_lo": int(avail_lo),
+            "fed": int(self._fed),
+            "out_need": int(out_need),
         }
         meta = (S, S_local0, S_next, out_total, f_hi, f_lo, nch)
         return req, meta

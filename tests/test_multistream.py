@@ -181,6 +181,132 @@ def test_multistream_stereo():
     np.testing.assert_array_equal(y1, ref)
 
 
+def test_multistream_int16_wire():
+    """The PCM serving wire (round 4): int16 feeds converted on device by
+    the add_data_short rule x/2^15, int16 outputs via the read_short rule
+    clip(round(x*2^15)) — bit-identical to a single-stream pipeline fed
+    the dequantized floats with the same conversions applied on host."""
+    x = speechlike(5.0, seed=21)
+    xi = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    ref_f = single_stream_ref(xi.astype(np.float32) / 32768.0, 3.0, **KW)
+    ref_i = np.clip(np.round(ref_f * 32768.0), -32768, 32767).astype(np.int16)
+
+    ms = MultiStreamPipeline(CFG16, 3.0, n_streams=2, wire_dtype="int16", **KW)
+    s = ms.open()
+    s2 = ms.open()  # concurrent lane perturbs scheduling
+    outs = [ms.feed(s, xi[:30000])]
+    ms.feed(s2, np.ascontiguousarray(xi[::-1]))
+    outs.append(ms.feed(s, xi[30000:]))
+    outs.append(ms.flush(s))
+    y = np.concatenate(outs)
+    assert y.dtype == np.int16
+    np.testing.assert_array_equal(y, ref_i)
+    assert ms.flush(s2).dtype == np.int16
+    # Float feeds must be rejected loudly on the int16 wire.
+    ms2 = MultiStreamPipeline(CFG16, 3.0, n_streams=1, wire_dtype="int16", **KW)
+    sid = ms2.open()
+    with pytest.raises(AssertionError, match="int16"):
+        ms2.feed(sid, x[:1000])
+
+
+def test_multistream_ring_wraparound_and_split_writes():
+    """A stream several times longer than the device ring (forced small
+    via max_feed_samples) wraps it repeatedly, and feeds larger than the
+    upload bucket split across write rounds — output stays bit-identical
+    to the single-stream pipeline."""
+    x = speechlike(8.0, seed=31)
+    ref = single_stream_ref(x, 3.0, **KW)
+    ms = MultiStreamPipeline(
+        CFG16, 3.0, n_streams=2, max_feed_samples=20480, **KW
+    )
+    assert ms.R < len(x), "test premise: the stream must wrap the ring"
+    s = ms.open()
+    outs = []
+    for pos in range(0, len(x), 50000):  # 50k feeds > 20480 bucket cap
+        outs.append(ms.feed(s, x[pos : pos + 50000]))
+    outs.append(ms.flush(s))
+    np.testing.assert_array_equal(np.concatenate(outs), ref)
+    # The deliberately tiny ring may age out under a 50k burst — the
+    # host fallback covers that (bit-equality above is the gate). The
+    # ring path itself must still have served most segments.
+    ring_segs = ms.stats["segment_dispatches"] - ms.stats["ring_fallbacks"]
+    assert ring_segs >= ms.stats["ring_fallbacks"], ms.stats
+
+
+def test_multistream_device_ring_off_matches():
+    """device_ring=False restores the host-upload dispatches (the
+    multichannel/fallback path) — same outputs, by the same gate."""
+    x = speechlike(4.0, seed=41)
+    ref = single_stream_ref(x, 3.0, **KW)
+    ms = MultiStreamPipeline(CFG16, 3.0, n_streams=2, device_ring=False, **KW)
+    s = ms.open()
+    y = np.concatenate([ms.feed(s, x), ms.flush(s)])
+    np.testing.assert_array_equal(y, ref)
+
+
+def test_multistream_slow_lane_capacity_fallback():
+    """A lane near the plan's min speed needs more output than the
+    rate-derived trim ships; the dispatch must route to the full-capacity
+    program (correctness never depends on the trim)."""
+    x = speechlike(4.0, seed=51)
+    p = DeviceStreamingPipeline(CFG16, 1.2, min_speed_bound=1.0, **KW)
+    ref = p.process(x, feed_chunk=17000)
+
+    from speedy_tpu.parallel.batch import _plan_max_speed
+
+    ms = MultiStreamPipeline(
+        CFG16,
+        3.0,
+        n_streams=2,
+        min_speed_bound=1.0,
+        max_speed_bound=_plan_max_speed(3.0, 1.0),
+        **KW,
+    )
+    slow = ms.open(1.2)
+    # out_need at rate 1.2 exceeds the rg=3.0-derived trim.
+    assert ms.Fseg * ms.step / 1.2 > ms.out_cap
+    outs = []
+    for pos in range(0, len(x), 17000):
+        outs.append(ms.feed(slow, x[pos : pos + 17000]))
+    outs.append(ms.flush(slow))
+    np.testing.assert_array_equal(np.concatenate(outs), ref)
+
+
+def test_multistream_lane_checkpoint_resume():
+    """§5.4 across runtimes: a lane snapshotted mid-stream restores into
+    (a) a standalone DeviceStreamingPipeline and (b) a fresh lane of
+    another MultiStreamPipeline, both continuing bit-identically — the
+    live carries live stacked in the owner, so this gates the slot-row
+    extraction/injection."""
+    x = speechlike(6.0, seed=71)
+    ref = single_stream_ref(x, 3.0, **KW)
+
+    ms = MultiStreamPipeline(CFG16, 3.0, n_streams=2, **KW)
+    s = ms.open()
+    noise = ms.open()  # concurrent lane keeps the stacked state non-trivial
+    head = [ms.feed(s, x[:50000])]
+    ms.feed(noise, speechlike(2.0, seed=72))
+    snap = ms._lane(s).state_dict()
+
+    # (a) standalone pipeline resumes the lane.
+    p = DeviceStreamingPipeline(CFG16, 3.0, **KW)
+    p.load_state_dict(snap)
+    tail_a = [p.feed(x[50000:]), p.flush()]
+    np.testing.assert_array_equal(
+        np.concatenate(head + tail_a), ref, err_msg="standalone resume"
+    )
+
+    # (b) a fresh lane of a different MultiStreamPipeline resumes it.
+    ms2 = MultiStreamPipeline(CFG16, 3.0, n_streams=2, **KW)
+    s2 = ms2.open()
+    ms2._lane(s2).load_state_dict(snap)
+    tail_b = [ms2.feed(s2, x[50000:]), ms2.flush(s2)]
+    np.testing.assert_array_equal(
+        np.concatenate(head + tail_b), ref, err_msg="lane resume"
+    )
+    ms.flush(noise)
+
+
 def test_corpus_engine_long_utterances_batched():
     """Verdict item: CorpusEngine's long-utterance path streams MANY
     long files in shared dispatches (not serially at B=1). Eight long

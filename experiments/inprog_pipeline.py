@@ -22,7 +22,7 @@ from speedy_tpu.parallel.batch import (
 )
 from speedy_tpu.ops.speed import speed_from_tension_parallel
 
-SR = 16000
+SR = int(os.environ.get("SR", "16000"))  # 22050/44100 for the other rates
 B = int(os.environ.get("B", "128"))
 L = SR * 10
 NIT = int(os.environ.get("NIT", "24"))

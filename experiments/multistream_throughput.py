@@ -90,12 +90,12 @@ while pos + FEED <= len(xs[0]):
     pos += FEED
     fed += FEED * N
 dt = time.perf_counter() - t0
+d = {k: ms.stats[k] - snap[k] for k in ms.stats}  # timed window only
 for s in sids:
     ms.flush(s)  # excluded from the steady-state window (one-time drain)
 
 lat = np.asarray(lat)
 agg = fed / SR / dt
-d = {k: ms.stats[k] - snap[k] for k in ms.stats}
 print(
     f"N={N} rate={RATE} seg={SEG} ch={CH} feed={FEED/SR:g}s wire={WIRE}: "
     f"{agg:8.1f} audio-s/s aggregate "

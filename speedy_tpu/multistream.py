@@ -169,29 +169,39 @@ def _batched_chunk_law_step(
 
 
 # ---------- device ring primitives ----------
+#
+# The "ring" is a SLIDING WINDOW [R] holding absolute sample positions
+# [written - R, written): no modulo arithmetic anywhere, so every op is
+# a contiguous static-length lax.dynamic_slice (per-row large-slice
+# gathers under vmap — one DMA per row). The first formulation used
+# element-wise jnp.take with mod-R indices; XLA lowered those to
+# scalar-granularity gathers costing ~120 ms per round on hardware.
 
 
-def _ring_write(ring_row, new_row, wpos, n_new):
-    """Scatter new_row[:n_new] into the ring at physical position wpos
-    (gather formulation — Mosaic/XLA-friendly, no dynamic-length update):
-    for each ring slot j, off = (j - wpos) mod R picks the new sample it
-    should now hold, if any."""
+def _ring_write(ring_row, new_row, n_new):
+    """Slide the window past n_new new samples: the [R]-slice of
+    concat(window, new) starting at n_new ends exactly at the last new
+    sample (pad beyond n_new never enters the window)."""
     R = ring_row.shape[0]
-    U = new_row.shape[0]
-    j = jnp.arange(R, dtype=jnp.int32)
-    off = jnp.remainder(j - wpos, R)
-    vals = jnp.take(new_row, jnp.minimum(off, U - 1), axis=0)
-    return jnp.where(off < n_new, vals, ring_row)
+    c = jnp.concatenate([ring_row, new_row])
+    return jax.lax.dynamic_slice(c, (n_new.astype(jnp.int32),), (R,))
 
 
-def _ring_read(ring_row, start, length, lo, hi):
-    """[length] window at absolute positions start+i: ring value where
-    lo <= pos < hi, else 0 (reproducing the host seg builder's zeroing
-    below the retention base and past the fed watermark — the flush
-    zero-extension region is >= fed, so masking covers it too)."""
+def _ring_read(ring_row, start, length, written, lo, hi):
+    """[length] window at absolute positions start+i: the window value
+    where lo <= pos < hi, else 0 (reproducing the host seg builder's
+    zeroing below the retention base and past the fed watermark — the
+    flush zero-extension region is >= fed, so masking covers it too).
+    `written` is the window's absolute end. Reads that start past
+    `written` clamp the slice offset; every clamped position is >= hi
+    and masked to 0, so alignment never matters there."""
     R = ring_row.shape[0]
+    ext = jnp.concatenate(
+        [ring_row, jnp.zeros((length,), ring_row.dtype)]
+    )
+    off = jnp.clip(start - written + R, 0, R).astype(jnp.int32)
+    v = jax.lax.dynamic_slice(ext, (off,), (length,))
     p = start + jnp.arange(length, dtype=jnp.int32)
-    v = jnp.take(ring_row, jnp.remainder(p, R), axis=0)
     return jnp.where((p >= lo) & (p < hi), v, jnp.zeros((), ring_row.dtype))
 
 
@@ -210,8 +220,8 @@ def _ring_round_step(
     chunk + law steps per slot. Signature (leading dims = n_slots):
 
       (ring[N,R], an_carry, law[N,2], new[N,U] (i16 or f32),
-       wpos[N], n_new[N], hi[N] (ring-valid watermark = fed after this
-       write), k0[N], n_ch[N], rg[N], t_cap[N])
+       n_new[N], hi[N] (ring-valid watermark = samples written after
+       this round's write), k0[N], n_ch[N], rg[N], t_cap[N])
         -> (ring', an_carry', law', speeds[N,NC,Ch])
 
     Chunk c of row i runs iff c < n_ch[i]; its samples are
@@ -226,18 +236,18 @@ def _ring_round_step(
     fut = cfg.hysteresis_future
     law = _law_factory(nonlinear_factor, feedback)
 
-    def one(ring_row, an_row, law_row, new_row, wpos, n_new, hi, k0, n_ch, rg, t_cap):
+    def one(ring_row, an_row, law_row, new_row, n_new, hi, k0, n_ch, rg, t_cap):
         if wire_i16:
             new_f = new_row.astype(jnp.float32) / 32768.0  # add_data_short
         else:
             new_f = new_row
-        ring2 = _ring_write(ring_row, new_f, wpos, n_new)
+        ring2 = _ring_write(ring_row, new_f, n_new)
 
         def it(carry, c):
             an, lawc = carry
             k = k0 + c
             run = c < n_ch
-            samples = _ring_read(ring2, k * ChS, ChS, jnp.int32(0), hi)
+            samples = _ring_read(ring2, k * ChS, ChS, hi, jnp.int32(0), hi)
             use0 = k == 0
             an_in = jax.tree_util.tree_map(
                 lambda a0, a: jnp.where(use0, a0, a), carry0, an
@@ -283,8 +293,10 @@ def _ring_seg_step(
     seg builder applies (streaming_device.py:238-246)."""
 
     def fn(ring, s0, lo, hi, lens, sps, ino, osh, prf):
+        # At segment time the pump has drained every pending write, so
+        # the fed watermark (hi) IS the window's absolute end.
         segs = jax.vmap(
-            lambda r, s, l, h: _ring_read(r, s, L_seg, l, h)
+            lambda r, s, l, h: _ring_read(r, s, L_seg, h, l, h)
         )(ring, s0, lo, hi)
         res, periods = wsola_fast._wsola_grid_batch(
             segs,
@@ -757,7 +769,6 @@ class MultiStreamPipeline:
         u_max = max((p.size for p in pend.values()), default=0)
         U = self._u_bucket(u_max)
         new = np.zeros((N, U), self._wire_np)
-        wpos = np.zeros((N,), np.int32)
         n_new = np.zeros((N,), np.int32)
         hi = np.zeros((N,), np.int32)
         k0 = np.zeros((N,), np.int32)
@@ -774,11 +785,15 @@ class MultiStreamPipeline:
                 "(~2^31 samples); flush and reopen the slot"
             )
             new[i, : p.size] = p
-            wpos[i] = l._ring_fed % self.R
             n_new[i] = p.size
             covered = l._ring_fed + p.size
             hi[i] = covered
             k0[i] = l._k
+            # Chunk windows must still be inside the sliding window.
+            assert l._k * ChS >= covered - self.R, (
+                "analysis backlog aged out of the device window "
+                f"(k={l._k}, covered={covered}, R={self.R})"
+            )
             if force_one:
                 nc = 1
             elif write_only:
@@ -798,7 +813,6 @@ class MultiStreamPipeline:
             self._an_carry,
             self._law_carry,
             new,
-            jnp.asarray(wpos),
             jnp.asarray(n_new),
             jnp.asarray(hi),
             jnp.asarray(k0),

@@ -421,19 +421,37 @@ def main():
 
     audio_seconds = B * seconds
     value = audio_seconds / dt / max(n_dev, 1)
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "audio-seconds/sec/chip at 3.5x nonlinear speedup "
-                    f"({sample_rate / 1000:g} kHz, batched)"
-                ),
-                "value": round(value, 1),
-                "unit": "audio-s/s/chip",
-                "vs_baseline": round(value / 1000.0, 3),
-            }
-        )
-    )
+    line = {
+        "metric": (
+            "audio-seconds/sec/chip at 3.5x nonlinear speedup "
+            f"({sample_rate / 1000:g} kHz, batched)"
+        ),
+        "value": round(value, 1),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / 1000.0, 3),
+    }
+    print(json.dumps(line))
+    # SPEEDY_BENCH_JSON_OUT=<path>: also record the figure as a JSON
+    # artifact with the run's knobs + window evidence (used for the
+    # non-default-rate operating points: 22.05 kHz, 44.1 kHz).
+    out_path = os.environ.get("SPEEDY_BENCH_JSON_OUT", "")
+    if out_path:
+        extra = {
+            "samples_per_sec": round(value * sample_rate, 1),
+            "knobs": {
+                "sample_rate": sample_rate,
+                "batch_per_chip": B // max(n_dev, 1),
+                "iters_per_window": iters,
+                "cap_factor": cap_factor,
+                "pitch_gc": int(os.environ.get("SPEEDY_PITCH_GC", "64")),
+                "families": len(families) if fam_sel == "" else f"homogeneous {fam_sel}",
+            },
+        }
+        if not serial:
+            extra["window_rates"] = [round(r, 1) for r in window_rates]
+            extra["capacity_margin"] = round(cap / max(vmax_all, 1) - 1.0, 4)
+        with open(out_path, "w") as f:
+            json.dump({**line, **extra}, f, indent=1)
     return 0
 
 

@@ -414,12 +414,18 @@ def _wsola_grid_batch(
     # concat materialized ~125 MB/step), and 128 | G keeps the reshape
     # lane-aligned so XLA fuses the views into the DFT einsums.
     G = -(-max(3 * Hs, seg_w) // 128) * 128  # G >= seg_w by construction
-    # Cell count rounded up to the pitch kernel's GC=64 program size so
-    # its internal padding is a no-op (otherwise it would concat-copy the
+    # Cell count rounded up to the pitch kernel's GC program size so its
+    # internal padding is a no-op (otherwise it would concat-copy the
     # whole grid); the extra zero cells cost ~1 MB of the pad that builds
     # xs_pitch anyway, and g_idx below is clipped to the REAL cell range.
+    # The rounding follows SPEEDY_PITCH_GC so GC sweeps are FAIRLY
+    # pre-rounded (the round-3 lesson: a grid rounded for GC=64 makes
+    # GC=128 pay a per-step pad copy). At 22.05 kHz the default GC=64
+    # rounds 288 real cells to 320 (+11% dead pitch work); GC=32 is
+    # exact there — see the 22 kHz knee sweep in the ledger.
     n_grid = -(-(L + seg_w) // G)  # real cells (g_idx clip bound)
-    n_cells = -(-n_grid // 64) * 64
+    _gc = int(os.environ.get("SPEEDY_PITCH_GC", "64"))
+    n_cells = -(-n_grid // _gc) * _gc
     # Pitch reads x from sample 0 (x_pad's front padding is synthesis
     # back-reach only): pad xs directly so the reshape stays tile-aligned.
     # Branch decided BEFORE the grid build: the kernel path pads RAW xs

@@ -79,6 +79,12 @@ def corpus_main():
     durs[:n_long] = rng.uniform(40.0, 90.0, size=n_long)
     rng.shuffle(durs)
 
+    # The corpus is 16-bit PCM (what wav corpora actually are, and the
+    # reference's sonicWriteShortToStream serving format): the packed
+    # int16 wire ships each sample once at 2 bytes, losslessly.
+    # SPEEDY_BENCH_CORPUS_F32=1 measures the float32-wire point instead.
+    as_f32 = os.environ.get("SPEEDY_BENCH_CORPUS_F32", "0") == "1"
+
     def synth_corpus(seed):
         r = np.random.default_rng(seed)
         utts = []
@@ -93,7 +99,12 @@ def corpus_main():
                 * 0.25
                 + 0.003 * r.standard_normal(L)
             ).astype(np.float32)
-            utts.append(x)
+            if as_f32:
+                utts.append(x)
+            else:
+                utts.append(
+                    np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+                )
         return utts
 
     eng = CorpusEngine(
@@ -149,8 +160,21 @@ def corpus_main():
         "output_audio_s": round(out_audio, 1),
         "batched_audio_s": round(total_audio - long_audio, 1),
         "padded_audio_s": round(padded_audio, 1),
-        "padding_overhead": round(padded_audio / max(total_audio - long_audio, 1e-9) - 1, 3),
+        "padding_overhead_device": round(
+            padded_audio / max(total_audio - long_audio, 1e-9) - 1, 3
+        ),
         "long_streamed_audio_s": round(long_audio, 1),
+        "corpus_dtype": "float32" if as_f32 else "int16",
+        # Packed wire: only real samples cross the relay (bucket padding
+        # is device-built). At the probed relay rates (~40 MB/s up /
+        # ~35 down, relay_wire_probe.py) these bytes ARE the wall clock.
+        "wire_up_MB": round(eng.stats["wire_up_bytes"] / 1e6, 1),
+        "wire_down_MB": round(eng.stats["wire_down_bytes"] / 1e6, 1),
+        "est_wire_s": round(
+            eng.stats["wire_up_bytes"] / 40e6
+            + eng.stats["wire_down_bytes"] / 35e6,
+            2,
+        ),
         "stats": dict(eng.stats),
         "batch_dispatches": n_disp,
         "stream_dispatches": stream_disp,

@@ -17,6 +17,7 @@ def __getattr__(name):
         "batched_nonlinear_speedup",
         "batched_nonlinear_speedup_multichannel",
         "compile_batch_step",
+        "compile_packed_batch_step",
     ):
         from . import batch
 
@@ -40,6 +41,7 @@ __all__ = [
     "batched_nonlinear_speedup",
     "batched_nonlinear_speedup_multichannel",
     "compile_batch_step",
+    "compile_packed_batch_step",
     "analysis_seq_parallel",
     "wsola_seq_parallel",
     "nonlinear_speedup_seq_parallel",

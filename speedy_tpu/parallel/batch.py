@@ -663,6 +663,75 @@ def compile_batch_step(
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def compile_packed_batch_step(
+    cfg: SpeedyConfig,
+    batch: int,
+    length: int,
+    flat_len: int,
+    global_speed: float,
+    nonlinear_factor: float = 1.0,
+    duration_feedback_strength: float = 0.1,
+    min_speed_bound: Optional[float] = None,
+    use_mesh: bool = False,
+    tp: int = 1,
+    capacity_factor: Optional[float] = None,
+    int16_wire: bool = False,
+):
+    """Packed-wire bucket step (CorpusEngine staging).
+
+    The corpus bench's first hardware attribution showed the end-to-end
+    number is bound by HOST<->DEVICE WIRE BYTES, not device compute: the
+    padded f32 [B, bucket_L] layout ships bucket padding (2-2.5x the
+    real samples at typical length spreads) at 4 bytes/sample, while the
+    device processes the same batch in ~milliseconds. So the wire
+    carries only the REAL samples, concatenated flat (int16 verbatim
+    when the corpus is 16-bit PCM — lossless, the reference's
+    sonicWriteShortToStream serving format, soniclib.c:496,516 — else
+    float32, also lossless), and the padded [B, L] f32 layout is built
+    ON DEVICE: one contiguous static-width dynamic_slice per row at its
+    host-known offset, masked by the row's length (over-read beyond an
+    utterance is masked off; flat is padded by one bucket so slices
+    never clamp). Outputs return in the same wire dtype: int16 batches
+    fetch clip(round(y*2^15)) — the shim's float->short rule, bit-equal
+    to host-side quantization of the f32 path's output (gated in
+    tests/test_parallel.py::test_corpus_packed_wire_bit_exact).
+    flat_len is quantized to a bucket multiple by the caller so compile
+    shapes stay few."""
+    mesh = None
+    if use_mesh:
+        from .mesh import make_mesh
+
+        mesh = make_mesh(tp=tp)
+
+    def fn(flat, offsets, lengths):
+        def row(off, n):
+            r = jax.lax.dynamic_slice(flat, (off,), (length,))
+            r = r.astype(jnp.float32)
+            if int16_wire:
+                r = r / 32768.0  # add_data_short (soniclib.c:496)
+            return jnp.where(jnp.arange(length) < n, r, 0.0)
+
+        xs = jax.vmap(row)(offsets, lengths)
+        out = batched_nonlinear_speedup(
+            xs,
+            lengths,
+            cfg,
+            global_speed,
+            nonlinear_factor,
+            duration_feedback_strength,
+            min_speed_bound,
+            mesh,
+            capacity_factor=capacity_factor,
+        )
+        y = out.output
+        if int16_wire:
+            y = jnp.clip(jnp.round(y * 32768.0), -32768, 32767).astype(jnp.int16)
+        return y, out.valid_length
+
+    return jax.jit(fn)
+
+
 def batched_nonlinear_speedup_multichannel(
     xs: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -758,7 +827,17 @@ class CorpusEngine:
     Buckets utterances by padded length (powers-of-two quantization), runs
     one compiled sharded step per bucket batch, and reassembles results in
     input order. This is the rebuild's answer to the reference tests'
-    serial file loops (sonic_classic_test.cc:529-534)."""
+    serial file loops (sonic_classic_test.cc:529-534).
+
+    Wire design (the measured end-to-end bound): host<->device transfers
+    carry only the REAL samples — each bucket batch ships one flat concat
+    buffer + offsets (int16 verbatim for 16-bit PCM corpora, the
+    reference's serving format; float32 otherwise — both lossless) and
+    the padded [B, L] layout is built on device; outputs return in the
+    same wire dtype (int16 corpora get int16 results via the shim's
+    clip(round(y*2^15)) rule, bit-equal to quantizing the float path's
+    output). int16_wire=False forces float32 both ways. See
+    compile_packed_batch_step and CORPUS_BENCH.json's attribution."""
 
     def __init__(
         self,
@@ -773,6 +852,7 @@ class CorpusEngine:
         long_utterance_samples: Optional[int] = 1 << 19,
         stream_batch: int = 8,
         stream_kw: Optional[dict] = None,
+        int16_wire: bool = True,
     ):
         self.cfg = cfg
         self.global_speed = float(global_speed)
@@ -808,7 +888,15 @@ class CorpusEngine:
         # both streaming paths (testing/tuning knob).
         self.stream_batch = max(1, int(stream_batch))
         self.stream_kw = dict(stream_kw or {})
-        self._ms = None  # lazily-built, reused across process() calls
+        # Packed-wire staging dtype policy (see compile_packed_batch_step):
+        # batches whose every utterance is 1-D int16 ship int16 BOTH ways
+        # (lossless; results for those utterances come back int16, the
+        # reference's PCM serving contract). Float utterances always ship
+        # and return float32 — quantizing floats was measured+rejected in
+        # round 2 (breaks the f32 quality-gate architecture). False
+        # forces float32 wire and float32 results everywhere.
+        self.int16_wire = bool(int16_wire)
+        self._ms: dict = {}  # wire dtype -> pipeline, reused across process()
         # Observability (reset per process() call): batches dispatched,
         # utterances that hit the rate-derived cap and were retried,
         # retry batches dispatched, utterances routed to streaming, and
@@ -823,6 +911,8 @@ class CorpusEngine:
             "stream_chunks": 0,
             "stream_segment_dispatches": 0,
             "stream_segments": 0,
+            "wire_up_bytes": 0,
+            "wire_down_bytes": 0,
         }
 
     @staticmethod
@@ -853,19 +943,20 @@ class CorpusEngine:
         tail = pipe.flush()
         return np.concatenate([head, tail])
 
-    def _get_multistream(self):
-        if self._ms is None:
+    def _get_multistream(self, int16: bool = False):
+        if self._ms.get(int16) is None:
             from ..multistream import MultiStreamPipeline
 
-            self._ms = MultiStreamPipeline(
+            self._ms[int16] = MultiStreamPipeline(
                 self.cfg,
                 self.global_speed,
                 n_streams=self.stream_batch,
                 nonlinear_factor=self.nonlinear_factor,
                 duration_feedback_strength=self.feedback,
+                wire_dtype="int16" if int16 else "float32",
                 **self.stream_kw,
             )
-        return self._ms
+        return self._ms[int16]
 
     def _process_streaming_many(self, items) -> dict:
         """Stream several long utterances CONCURRENTLY: a slot-recycling
@@ -877,21 +968,33 @@ class CorpusEngine:
         path (the multistream equality gate)."""
         from collections import deque
 
-        ms = self._get_multistream()
+        # int16 corpora ride the multistream pipeline's int16 PCM wire
+        # (feeds verbatim, outputs device-quantized) — the same lossless
+        # wire rule as the bucket path.
+        i16 = self.int16_wire and all(
+            np.asarray(u).ndim == 1 and np.asarray(u).dtype == np.int16
+            for _, u in items
+        )
+        ms = self._get_multistream(i16)
         snap = dict(ms.stats)
         feed = ms.Fseg * ms.step  # one segment's samples per round
         queue = deque(items)
-        active = {}  # sid -> [result index, float audio, position, outs]
+        active = {}  # sid -> [result index, wire-dtype audio, position, outs]
         results: dict = {}
         while queue or active:
             while queue and ms.n_active < ms.n_slots:
                 j, u = queue.popleft()
-                active[ms.open()] = [j, self._to_float(u), 0, []]
+                active[ms.open()] = [
+                    j, np.asarray(u) if i16 else self._to_float(u), 0, []
+                ]
             pairs = []
             for sid, st in active.items():
-                pairs.append((sid, st[1][st[2] : st[2] + feed]))
+                chunk = st[1][st[2] : st[2] + feed]
+                self.stats["wire_up_bytes"] += chunk.nbytes
+                pairs.append((sid, chunk))
                 st[2] += feed
             drains = ms.feed_many(pairs)
+            self.stats["wire_down_bytes"] += sum(d.nbytes for d in drains.values())
             done = []
             for sid, st in active.items():
                 st[3].append(drains[sid])
@@ -910,11 +1013,36 @@ class CorpusEngine:
             self.stats[k_st] += ms.stats[k_ms] - snap[k_ms]
         return results
 
-    def _run_bucket(self, xs, lengths, capacity_factor):
-        step_fn = compile_batch_step(
+    def _run_bucket_packed(self, batch, capacity_factor):
+        """Dispatch one bucket batch through the packed-wire step: only
+        the REAL samples cross the relay (flat concat, int16 when the
+        whole batch is 16-bit PCM), the padded layout is built on device,
+        and outputs return in wire dtype. Returns (y, valid)."""
+        i16 = self.int16_wire and all(
+            np.asarray(u).ndim == 1 and np.asarray(u).dtype == np.int16
+            for u in batch
+        )
+        dt = np.int16 if i16 else np.float32
+        lengths = np.asarray([len(u) for u in batch], np.int32)
+        L = self._bucket_length(int(lengths.max()))
+        total = int(lengths.sum())
+        # Multiple of the bucket so (a) dynamic slices never clamp (one
+        # full bucket of zero tail past the last utterance) and (b) the
+        # compile-shape count stays bounded.
+        flat_len = -(-(total + L) // L) * L
+        flat = np.zeros((flat_len,), dt)
+        offsets = np.zeros((len(batch),), np.int32)
+        pos = 0
+        for k, u in enumerate(batch):
+            u = np.asarray(u) if i16 else self._to_float(u)
+            offsets[k] = pos
+            flat[pos : pos + len(u)] = u
+            pos += len(u)
+        step_fn = compile_packed_batch_step(
             self.cfg,
-            xs.shape[0],
-            xs.shape[1],
+            len(batch),
+            L,
+            flat_len,
             self.global_speed,
             self.nonlinear_factor,
             self.feedback,
@@ -922,9 +1050,15 @@ class CorpusEngine:
             self.use_mesh,
             self.tp,
             capacity_factor,
+            i16,
         )
-        out = step_fn(jnp.asarray(xs), jnp.asarray(lengths))
-        return np.asarray(out.output), np.asarray(out.valid_length)
+        y, valid = step_fn(
+            jnp.asarray(flat), jnp.asarray(offsets), jnp.asarray(lengths)
+        )
+        y, valid = np.asarray(y), np.asarray(valid)
+        self.stats["wire_up_bytes"] += flat.nbytes + offsets.nbytes + lengths.nbytes
+        self.stats["wire_down_bytes"] += y.nbytes + valid.nbytes
+        return y, valid
 
     def process(self, utterances: Sequence[np.ndarray]) -> List[np.ndarray]:
         for k in self.stats:
@@ -958,27 +1092,20 @@ class CorpusEngine:
                 results[j] = y
 
         order = sorted(batched_idx, key=lambda j: len(utterances[j]))
-        # (bucket_L) -> list of (result index, padded row, length): inputs
-        # whose rate-derived capacity truncated, re-run BATCHED under the
-        # worst-case plan after the main sweep (round-2 retried at B=1
-        # per utterance — a tension-saturated corpus degraded quietly).
+        # (bucket_L) -> list of result indices: inputs whose rate-derived
+        # capacity truncated, re-run BATCHED under the worst-case plan
+        # after the main sweep (round-2 retried at B=1 per utterance — a
+        # tension-saturated corpus degraded quietly).
         retry: dict = {}
         for i in range(0, len(order), self.batch_size):
             idxs = order[i : i + self.batch_size]
             batch = [utterances[j] for j in idxs]
             L = self._bucket_length(max(len(u) for u in batch))
-            B = len(batch)
-            xs = np.zeros((B, L), np.float32)
-            lengths = np.zeros((B,), np.int32)
-            for k, u in enumerate(batch):
-                u = self._to_float(u)
-                xs[k, : len(u)] = u
-                lengths[k] = len(u)
-            y, valid = self._run_bucket(xs, lengths, self.capacity_factor)
+            y, valid = self._run_bucket_packed(batch, self.capacity_factor)
             self.stats["batches"] += 1
             for k, j in enumerate(idxs):
                 if self.capacity_factor is not None and valid[k] >= y.shape[1]:
-                    retry.setdefault(L, []).append((j, xs[k], lengths[k]))
+                    retry.setdefault(L, []).append(j)
                 else:
                     results[j] = y[k, : valid[k]]
 
@@ -996,10 +1123,29 @@ class CorpusEngine:
         for L, items in retry.items():
             for i in range(0, len(items), self.batch_size):
                 chunk = items[i : i + self.batch_size]
-                xs = np.stack([row for _, row, _ in chunk])
-                lengths = np.asarray([n for _, _, n in chunk], np.int32)
-                y, valid = self._run_bucket(xs, lengths, None)
+                y, valid = self._run_bucket_packed(
+                    [utterances[j] for j in chunk], None
+                )
                 self.stats["retry_batches"] += 1
-                for k, (j, _, _) in enumerate(chunk):
+                for k, j in enumerate(chunk):
                     results[j] = y[k, : valid[k]]
+
+        # Per-utterance dtype contract: int16 in -> int16 out whenever
+        # int16_wire is on, regardless of which path (mixed bucket batch,
+        # serial streaming fallback) produced a float result — host
+        # quantization uses the identical clip(round(y*2^15)) rule on the
+        # identical f32 values, so this matches the device-quantized
+        # paths bit-for-bit.
+        if self.int16_wire:
+            for j, u in enumerate(utterances):
+                y = results[j]
+                if (
+                    y is not None
+                    and y.dtype != np.int16
+                    and np.asarray(u).ndim == 1
+                    and np.asarray(u).dtype == np.int16
+                ):
+                    results[j] = np.clip(
+                        np.round(y * 32768.0), -32768, 32767
+                    ).astype(np.int16)
         return results  # type: ignore

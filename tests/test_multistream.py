@@ -348,6 +348,34 @@ def test_corpus_engine_long_utterances_batched():
     assert len(got2[1]) > 0 and len(got2[3]) > 0
 
 
+def test_corpus_engine_long_int16_wire():
+    """An int16 PCM corpus's long utterances ride the multistream int16
+    wire (feeds verbatim, outputs device-quantized) and come out
+    bit-identical to the serial float path's host-quantized results —
+    the same int16-in -> int16-out contract as the bucket path."""
+    from speedy_tpu.parallel.batch import CorpusEngine
+
+    utts_f = [speechlike(2.2 + 0.2 * i, seed=70 + i) for i in range(4)]
+    utts_i = [
+        np.clip(np.round(u * 32768.0), -32768, 32767).astype(np.int16)
+        for u in utts_f
+    ]
+    common = dict(long_utterance_samples=1 << 15,
+                  stream_kw=dict(chunk_frames=64, segment_frames=128))
+    serial = CorpusEngine(CFG16, 3.0, stream_batch=1, **common)
+    ref = serial.process(utts_i)
+    assert serial.stats["streamed_long"] == 4
+    assert all(r.dtype == np.int16 for r in ref)
+
+    eng = CorpusEngine(CFG16, 3.0, stream_batch=4, **common)
+    got = eng.process(utts_i)
+    assert all(r.dtype == np.int16 for r in got)
+    # int16 feeds crossed the wire at 2 bytes/sample.
+    assert eng.stats["wire_up_bytes"] <= 2 * sum(u.nbytes for u in utts_i)
+    for i in range(4):
+        np.testing.assert_array_equal(got[i], ref[i], err_msg=f"utt {i}")
+
+
 def test_multistream_feed_chunking_invariance():
     """Like the single-stream gate: output is bit-identical regardless of
     how feeds are chunked or interleaved across lanes."""

@@ -203,6 +203,54 @@ def test_corpus_engine_end_to_end():
         assert abs(len(r) - expected) < 0.04 * expected + 60, (len(u), len(r))
 
 
+def test_corpus_packed_wire_bit_exact():
+    """Packed-wire staging gate: (a) an int16 PCM corpus rides the int16
+    wire and its results equal the float32-wire results quantized with
+    the shim's clip(round(y*2^15)) rule BIT-FOR-BIT (the device builds
+    the identical f32 xs from the int16 flat buffer, so the pipeline and
+    the quantization see identical values); (b) a float32 corpus through
+    the packed wire equals direct host-padded batched_nonlinear_speedup
+    exactly; (c) wire-byte counters account the shipped bytes."""
+    cfg = SpeedyConfig(16000)
+    rng = np.random.default_rng(11)
+    utts_f = [
+        (np.sin(np.arange(n) * 2 * np.pi * 219 / 16000) * 0.6
+         + 0.01 * rng.standard_normal(n)).astype(np.float32)
+        for n in (16000, 9000, 12000, 5000)
+    ]
+    utts_i = [
+        np.clip(np.round(u * 32768.0), -32768, 32767).astype(np.int16)
+        for u in utts_f
+    ]
+
+    eng_i16 = CorpusEngine(cfg, 3.0, batch_size=4)
+    res_i16 = eng_i16.process(utts_i)
+    assert all(r.dtype == np.int16 for r in res_i16)
+    assert eng_i16.stats["wire_up_bytes"] < 3 * sum(u.nbytes for u in utts_i)
+
+    eng_f32 = CorpusEngine(cfg, 3.0, batch_size=4, int16_wire=False)
+    res_f32 = eng_f32.process(utts_i)  # same int16 corpus, float wire
+    assert all(r.dtype == np.float32 for r in res_f32)
+    for a, b in zip(res_i16, res_f32):
+        q = np.clip(np.round(b * 32768.0), -32768, 32767).astype(np.int16)
+        np.testing.assert_array_equal(a, q)
+
+    # Float corpus: packed wire == direct host-padded batch step, exactly.
+    res_pf = CorpusEngine(cfg, 3.0, batch_size=4).process(utts_f)
+    assert all(r.dtype == np.float32 for r in res_pf)
+    order = sorted(range(4), key=lambda j: len(utts_f[j]))
+    L = 16384
+    xs = np.zeros((4, L), np.float32)
+    lens = np.zeros((4,), np.int32)
+    for k, j in enumerate(order):
+        xs[k, : len(utts_f[j])] = utts_f[j]
+        lens[k] = len(utts_f[j])
+    out = batched_nonlinear_speedup(jnp.asarray(xs), jnp.asarray(lens), cfg, 3.0)
+    y, valid = np.asarray(out.output), np.asarray(out.valid_length)
+    for k, j in enumerate(order):
+        np.testing.assert_array_equal(res_pf[j], y[k, : valid[k]])
+
+
 def test_dryrun_multichip_entry():
     """The driver's multi-chip dry run must compile and execute."""
     import sys, pathlib

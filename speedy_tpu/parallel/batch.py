@@ -663,12 +663,27 @@ def compile_batch_step(
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=256)
+def _device_zero_extend(n: int, target: int, dtype_name: str):
+    """Tiny jitted zero-extend: flat[n] -> flat[target] on device. Keyed
+    per (n, target) but compiles in seconds (vs minutes for the pipeline
+    program), so the BIG packed step below can key on (B, L) only —
+    every batch's exact-size wire transfer feeds one shared program."""
+    assert target >= n
+
+    def f(flat):
+        return jnp.concatenate(
+            [flat, jnp.zeros((target - n,), jnp.dtype(dtype_name))]
+        )
+
+    return jax.jit(f)
+
+
 @functools.lru_cache(maxsize=64)
 def compile_packed_batch_step(
     cfg: SpeedyConfig,
     batch: int,
     length: int,
-    flat_len: int,
     global_speed: float,
     nonlinear_factor: float = 1.0,
     duration_feedback_strength: float = 0.1,
@@ -696,8 +711,12 @@ def compile_packed_batch_step(
     fetch clip(round(y*2^15)) — the shim's float->short rule, bit-equal
     to host-side quantization of the f32 path's output (gated in
     tests/test_parallel.py::test_corpus_packed_wire_bit_exact).
-    flat_len is quantized to a bucket multiple by the caller so compile
-    shapes stay few."""
+    The flat argument has the FIXED shape [(batch+1)*length]: the caller
+    ships the exact wire bytes (a transfer, which never compiles) and
+    zero-extends on device via _device_zero_extend, so this
+    minutes-to-compile program is keyed on (B, L) alone — the extra
+    bucket of zero tail also guarantees the per-row slices never
+    clamp."""
     mesh = None
     if use_mesh:
         from .mesh import make_mesh
@@ -1026,10 +1045,14 @@ class CorpusEngine:
         lengths = np.asarray([len(u) for u in batch], np.int32)
         L = self._bucket_length(int(lengths.max()))
         total = int(lengths.sum())
-        # Multiple of the bucket so (a) dynamic slices never clamp (one
-        # full bucket of zero tail past the last utterance) and (b) the
-        # compile-shape count stays bounded.
-        flat_len = -(-(total + L) // L) * L
+        # The wire carries the EXACT bytes (transfers never compile);
+        # the device zero-extends to the step's fixed (B+1)*L flat shape
+        # via a seconds-to-compile tiny program, so the pipeline program
+        # compiles once per (B, L) bucket regardless of batch fill. A
+        # small host-side quantum keeps even the tiny-program key count
+        # low (<= 128 KB of zero padding on the wire).
+        q = min(65536, L)
+        flat_len = -(-total // q) * q
         flat = np.zeros((flat_len,), dt)
         offsets = np.zeros((len(batch),), np.int32)
         pos = 0
@@ -1038,11 +1061,15 @@ class CorpusEngine:
             offsets[k] = pos
             flat[pos : pos + len(u)] = u
             pos += len(u)
+        target = (len(batch) + 1) * L
+        assert flat_len <= target  # q <= L guarantees it
+        flat_d = _device_zero_extend(flat_len, target, dt.__name__)(
+            jnp.asarray(flat)
+        )
         step_fn = compile_packed_batch_step(
             self.cfg,
             len(batch),
             L,
-            flat_len,
             self.global_speed,
             self.nonlinear_factor,
             self.feedback,
@@ -1052,9 +1079,7 @@ class CorpusEngine:
             capacity_factor,
             i16,
         )
-        y, valid = step_fn(
-            jnp.asarray(flat), jnp.asarray(offsets), jnp.asarray(lengths)
-        )
+        y, valid = step_fn(flat_d, jnp.asarray(offsets), jnp.asarray(lengths))
         y, valid = np.asarray(y), np.asarray(valid)
         self.stats["wire_up_bytes"] += flat.nbytes + offsets.nbytes + lengths.nbytes
         self.stats["wire_down_bytes"] += y.nbytes + valid.nbytes

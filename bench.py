@@ -226,11 +226,15 @@ def main():
     cfg = SpeedyConfig(sample_rate)
     L = int(sample_rate * seconds)
     n_dev = jax.device_count()
-    # B=128 is the knee after the round-2 kernel landings (the round-1
-    # sweep at the 85k level chose 96; with the fused analysis kernel +
-    # lane-dense synth controls + 128-row span blocks: 96 -> 172.4k,
-    # 128 -> 176.3k, 160 -> 160.9k audio-s/s/chip).
-    B = int(os.environ.get("SPEEDY_BENCH_BATCH", "128")) * max(n_dev, 1)
+    # Batch knee is RATE-DEPENDENT. 16 kHz: B=128 (round-2 sweep at cap
+    # 1.33: 96 -> 255.5k, 128 -> 266.6k, 160 -> 234.7k). 22.05 kHz: B=64
+    # — the curve is steep below 128 (round-4 sweep, GC=64/cap 1.33:
+    # 32 -> 175.1k, 48 -> 178.0k, 64 -> 178.4k, 80 -> 178.0k,
+    # 96 -> 154.2k, 112 -> 144.2k, 128 -> 135.5k, 160 -> 139.9k,
+    # 192 -> 131.6k audio-s/s/chip); the wider 22 kHz geometry (window
+    # 330, seg_w 678) shifts the working-set knee to half the batch.
+    default_B = {16000: 128, 22050: 64}.get(sample_rate, 64)
+    B = int(os.environ.get("SPEEDY_BENCH_BATCH", str(default_B))) * max(n_dev, 1)
     # 192 iterations per dispatched window: the relay charges a fixed
     # ~30 ms floor PER EXECUTE (independent of program size — measured on
     # noop programs), so per-step cost = floor/iters + device step time;

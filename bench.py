@@ -233,7 +233,10 @@ def main():
     # 96 -> 154.2k, 112 -> 144.2k, 128 -> 135.5k, 160 -> 139.9k,
     # 192 -> 131.6k audio-s/s/chip); the wider 22 kHz geometry (window
     # 330, seg_w 678) shifts the working-set knee to half the batch.
-    default_B = {16000: 128, 22050: 64}.get(sample_rate, 64)
+    # 44.1 kHz: B=32, same halving again (window 661/step 441 — round-4
+    # sweep at GC=64/cap 1.33, 96-iter windows: 24 -> 67.5k, 32 -> 68.3k,
+    # 48 -> 62.8k, 64 -> 59.6k audio-s/s/chip).
+    default_B = {16000: 128, 22050: 64, 44100: 32}.get(sample_rate, 64)
     B = int(os.environ.get("SPEEDY_BENCH_BATCH", str(default_B))) * max(n_dev, 1)
     # 192 iterations per dispatched window: the relay charges a fixed
     # ~30 ms floor PER EXECUTE (independent of program size — measured on

@@ -73,6 +73,7 @@ from . import config as C
 from .config import SpeedyConfig
 from .ops import wsola_fast
 from .ops.chunked import make_chunk_step
+from .ops.speed import speed_law_step
 from .parallel.batch import _plan_max_speed
 from .streaming_device import DeviceStreamingPipeline
 
@@ -83,8 +84,8 @@ _ABS_LIMIT = 2**31 - 2**26
 
 
 def _law_factory(nonlinear_factor: float, feedback: float):
-    """The per-chunk speed-law scan (speed_from_tension's exact math,
-    speedy.c:768-788) with identity steps on masked slots."""
+    """The per-chunk speed-law scan (`ops.speed.speed_law_step` — the
+    shared speedy.c:768-788 body) with identity steps on masked slots."""
     fd = 1.0 / C.FRAME_RATE_HZ
     ms = C.MIN_SPEED
     nl = float(nonlinear_factor)
@@ -94,15 +95,7 @@ def _law_factory(nonlinear_factor: float, feedback: float):
         def step(c, tv):
             t, v = tv
             cur, des = c
-            fast = jnp.maximum(1.0, rg + (1.0 - rg) * t)
-            slow = jnp.maximum(ms, jnp.minimum(1.0, rg - (1.0 - rg) * t))
-            requested = jnp.where(rg > 1.0, fast, slow)
-            excess = cur - des
-            if fb > 0.0:
-                requested = requested + jnp.maximum(ms, fb * excess)
-            cur2 = cur + fd / requested
-            des2 = des + fd / rg
-            final = requested * nl + rg * (1.0 - nl)
+            cur2, des2, final = speed_law_step(cur, des, t, rg, fb, nl, ms, fd)
             return (
                 jnp.where(v, cur2, cur),
                 jnp.where(v, des2, des),
@@ -341,6 +334,14 @@ class _Lane(DeviceStreamingPipeline):
         self._wire_pending: List[np.ndarray] = []  # int16 wire payloads
         super().__init__(**kw)
 
+    @property
+    def _lazy_seg(self) -> bool:
+        # Ring lanes skip materializing the host seg window per segment
+        # (the device ring serves the dispatch); the ring-miss fallback
+        # rebuilds it via _build_seg_window (streaming_device.py).
+        # Property: lanes can be built before the owner creates its ring.
+        return self._owner._ring is not None
+
     # The coordinator drives all pumping (a lane's feed may unblock work
     # on every lane that was waiting for a shared dispatch round).
     def _pump(self):
@@ -354,7 +355,14 @@ class _Lane(DeviceStreamingPipeline):
                 f"(got {s.dtype}; construct with wire_dtype='float32' "
                 "for float feeds)"
             )
-            self._wire_pending.append(np.ascontiguousarray(s))
+            if s.ndim == 2 and s.shape[1] == 1:
+                s = s[:, 0]
+            assert s.ndim == 1, "int16 wire feeds are 1-D mono PCM"
+            if self._owner._ring is not None:
+                # _wire_pending stages ring uploads; without a device
+                # ring nothing consumes it (host-upload dispatches read
+                # the float raw mirror), so don't retain PCM history.
+                self._wire_pending.append(np.ascontiguousarray(s))
             samples = s.astype(np.float32) / 32768.0  # add_data_short
         super()._ingest(samples)
 
@@ -655,14 +663,34 @@ class MultiStreamPipeline:
 
     # ---------- public stream API ----------
 
+    def _validate_feed(self, samples: np.ndarray) -> np.ndarray:
+        """Shared feed()/feed_many() validation. The OWNER's channel
+        count is the contract: a standalone pipeline adopts its channel
+        count at the first feed, but a multiplexed lane must match the
+        pipeline-wide device programs — so a mismatched feed is an
+        error here, never a silent downmix."""
+        if self.channels > 1:
+            samples = np.asarray(samples, np.float32)
+            assert samples.ndim == 2 and samples.shape[1] == self.channels, (
+                f"channels={self.channels} pipeline takes "
+                f"[n, {self.channels}] feeds (got shape {np.shape(samples)})"
+            )
+            return samples
+        samples = np.asarray(samples)
+        if samples.ndim == 2 and samples.shape[1] == 1:
+            samples = samples[:, 0]
+        assert samples.ndim == 1, (
+            f"channels=1 pipeline takes 1-D mono feeds (got shape "
+            f"{samples.shape}); construct MultiStreamPipeline(channels=C) "
+            "for multichannel streams"
+        )
+        return samples
+
     def feed(self, sid: int, samples: np.ndarray) -> np.ndarray:
         """Feed one stream; pump ALL streams' ready work in shared
         dispatches; return this stream's available output."""
         lane = self._lane(sid)
-        if self.channels > 1:
-            samples = np.asarray(samples, np.float32)
-            assert samples.ndim == 2 and samples.shape[1] == self.channels
-        return lane.feed(samples)
+        return lane.feed(self._validate_feed(samples))
 
     def feed_many(
         self, pairs: Sequence[Tuple[int, np.ndarray]]
@@ -671,7 +699,7 @@ class MultiStreamPipeline:
         call pattern that maximizes dispatch sharing. Returns each fed
         stream's drained output."""
         for sid, samples in pairs:
-            self._lane(sid)._ingest(samples)
+            self._lane(sid)._ingest(self._validate_feed(samples))
         self._pump_all()
         return {sid: self._lane(sid)._drain() for sid, _ in pairs}
 
@@ -749,7 +777,10 @@ class MultiStreamPipeline:
 
     @staticmethod
     def _u_bucket(n: int) -> int:
-        return max(32768, -(-n // 32768) * 32768)
+        # U=0 is a stable cached shape of its own: flush-path force_one
+        # rounds have nothing pending, and shipping the 32768-wide zero
+        # bucket anyway cost ~4 MB of dead wire per flush chunk at N=32.
+        return 0 if n == 0 else max(32768, -(-n // 32768) * 32768)
 
     def _dispatch_round(
         self, lanes: Sequence[_Lane], force_one: bool = False,
@@ -887,8 +918,10 @@ class MultiStreamPipeline:
         )
         self.stats["chunk_dispatches"] += 1
         self.stats["chunks_processed"] += len(items)
+        self.stats["bytes_up"] += int(samples.nbytes)
         t_host = np.asarray(tension)
         s_host = np.asarray(speeds)
+        self.stats["bytes_down"] += int(t_host.nbytes + s_host.nbytes)
         return [(t_host[i, lo:], s_host[i, lo:hi]) for (i, lo, hi) in metas]
 
     def _dispatch_segments(self, reqs: Sequence[dict]) -> List[Tuple[np.ndarray, np.ndarray]]:
@@ -980,6 +1013,13 @@ class MultiStreamPipeline:
             else None
         )
         for i, r in enumerate(reqs):
+            if r["seg"] is None:
+                # Lazy ring-lane request: rebuild the host window from
+                # the lane's raw mirror (same pump round, so the mirror
+                # still covers the span the prep step saw).
+                r["seg"], r["seg_ch"] = self._lanes[r["slot"]]._build_seg_window(
+                    int(r["s0"])
+                )
             segs[i] = r["seg"]
             lens[i] = r["seg_len"]
             sps[i] = r["sp"]
@@ -1009,8 +1049,14 @@ class MultiStreamPipeline:
         )
         self.stats["segment_dispatches"] += 1
         self.stats["segments_processed"] += len(reqs)
+        # Ledger the major operands so the wire counters stay honest in
+        # the fallback regime too (segs/seg_ch/speeds up; rows down).
+        self.stats["bytes_up"] += int(
+            segs.nbytes + sps.nbytes + (seg_ch.nbytes if seg_ch is not None else 0)
+        )
         y = np.asarray(res.output)
         p = np.asarray(periods)
+        self.stats["bytes_down"] += int(y.nbytes + p.nbytes)
         if self._wire_i16:
             y = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
         return [(y[i], p[i]) for i in range(len(reqs))]

@@ -19,6 +19,32 @@ import numpy as np
 from .. import config as C
 
 
+def speed_law_step(cur, des, t, rg, fb, nl, min_speed, frame_duration):
+    """One frame of speedyComputeSpeedFromTension (speedy.c:768-788) plus
+    the shim's nonlinear interpolation (soniclib.c:342-345).
+
+    The SINGLE implementation of the control law's inner step — shared by
+    `speed_from_tension` below and the multistream masked law
+    (`multistream._law_factory`), so the multiplexed path's bit-equality
+    contract cannot drift from a fix applied to only one copy. Scalars
+    (`rg`, `fb`, `nl`, `min_speed`, `frame_duration`) may be Python
+    floats or traced values; callers pass exactly the types they always
+    did, preserving bitwise outputs.
+
+    Returns (cur', des', final_speed)."""
+    fast = jnp.maximum(1.0, rg + (1.0 - rg) * t)
+    slow = jnp.maximum(min_speed, jnp.minimum(1.0, rg - (1.0 - rg) * t))
+    requested = jnp.where(rg > 1.0, fast, slow)
+    excess = cur - des
+    requested = jnp.where(
+        fb > 0.0, requested + jnp.maximum(min_speed, fb * excess), requested
+    )
+    cur = cur + frame_duration / requested
+    des = des + frame_duration / rg
+    final = requested * nl + rg * (1.0 - nl)
+    return cur, des, final
+
+
 @jax.jit
 def speed_from_tension(
     tension: jnp.ndarray,
@@ -50,16 +76,9 @@ def speed_from_tension(
 
     def step(carry, t):
         cur, des = carry
-        fast = jnp.maximum(1.0, rg + (1.0 - rg) * t)
-        slow = jnp.maximum(min_speed, jnp.minimum(1.0, rg - (1.0 - rg) * t))
-        requested = jnp.where(rg > 1.0, fast, slow)
-        excess = cur - des
-        requested = jnp.where(
-            fb > 0.0, requested + jnp.maximum(min_speed, fb * excess), requested
+        cur, des, final = speed_law_step(
+            cur, des, t, rg, fb, nl, min_speed, frame_duration
         )
-        cur = cur + frame_duration / requested
-        des = des + frame_duration / rg
-        final = requested * nl + rg * (1.0 - nl)
         return (cur, des), final
 
     init = (

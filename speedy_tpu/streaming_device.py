@@ -235,15 +235,17 @@ class DeviceStreamingPipeline:
         src_lo = max(0, f_lo * step - self.front_margin)
         s0 = (src_lo // self.G) * self.G
         nch = self._raw.shape[1]
-        seg_ch = np.zeros((self.L_seg, nch), np.float32)
         avail_lo = max(s0, self._raw_base)
-        avail_hi = min(s0 + self.L_seg, self._raw_base + len(self._raw))
-        if avail_hi > avail_lo:
-            seg_ch[avail_lo - s0 : avail_hi - s0] = self._raw[
-                avail_lo - self._raw_base : avail_hi - self._raw_base
-            ]
-        seg = self._mono(seg_ch)
         seg_len = min(self.L_seg, max(0, self._fed - s0))
+        if getattr(self, "_lazy_seg", False) and nch == 1:
+            # Multistream ring lanes: the device ring serves the hot
+            # path, so skip materializing the host window; the ring-miss
+            # fallback rebuilds it from the raw mirror in the SAME pump
+            # round (no pruning in between) via _build_seg_window.
+            seg = None
+            seg_ch = None
+        else:
+            seg, seg_ch = self._build_seg_window(s0)
 
         sp = np.empty(self.F_in, np.float32)
         for i in range(self.F_in):
@@ -275,7 +277,7 @@ class DeviceStreamingPipeline:
             )
         req = {
             "seg": seg,
-            "seg_ch": seg_ch if nch > 1 else None,
+            "seg_ch": seg_ch,
             "seg_len": seg_len,
             "sp": sp,
             "in_offset": float(f_lo * step - s0),
@@ -291,6 +293,21 @@ class DeviceStreamingPipeline:
         }
         meta = (S, S_local0, S_next, out_total, f_hi, f_lo, nch)
         return req, meta
+
+    def _build_seg_window(self, s0: int):
+        """Materialize the [L_seg] host source window starting at
+        absolute sample s0 from the raw mirror (zeros outside the
+        retained [raw_base, fed) span). Returns (mono seg, seg_ch or
+        None for mono)."""
+        nch = self._raw.shape[1]
+        seg_ch = np.zeros((self.L_seg, nch), np.float32)
+        avail_lo = max(s0, self._raw_base)
+        avail_hi = min(s0 + self.L_seg, self._raw_base + len(self._raw))
+        if avail_hi > avail_lo:
+            seg_ch[avail_lo - s0 : avail_hi - s0] = self._raw[
+                avail_lo - self._raw_base : avail_hi - self._raw_base
+            ]
+        return self._mono(seg_ch), (seg_ch if nch > 1 else None)
 
     def _wsola_dispatch(self, req):
         """One single-row device dispatch of a prepared segment request.

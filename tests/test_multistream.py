@@ -209,6 +209,50 @@ def test_multistream_int16_wire():
         ms2.feed(sid, x[:1000])
 
 
+def test_multistream_feed_validation_and_bounded_wire():
+    """Owner-level feed contracts (round-4 review fixes): a channels=1
+    pipeline REJECTS multichannel feeds (never silently downmixes),
+    [n, 1] feeds are mono on both wires, feed_many validates like
+    feed, int16 PCM history is not retained when no device ring
+    consumes it, and flush-path rounds ship zero upload bytes."""
+    x = speechlike(3.0, seed=33)
+    xi = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+
+    ms = MultiStreamPipeline(CFG16, 3.0, n_streams=2, **KW)
+    sid = ms.open()
+    with pytest.raises(AssertionError, match="channels=1"):
+        ms.feed(sid, np.stack([x[:2000], x[:2000]], axis=1))
+    with pytest.raises(AssertionError, match="channels=1"):
+        ms.feed_many([(sid, np.stack([x[:2000], x[:2000]], axis=1))])
+    # [n, 1] is mono: bit-equal to the 1-D feed.
+    y_col = np.concatenate([ms.feed(sid, x[:, None]), ms.flush(sid)])
+    sid2 = ms.open()
+    y_1d = np.concatenate([ms.feed(sid2, x), ms.flush(sid2)])
+    np.testing.assert_array_equal(y_col, y_1d)
+
+    # int16 wire + device_ring=False: nothing consumes the wire staging,
+    # so PCM history must NOT accumulate (bounded-memory contract).
+    ms2 = MultiStreamPipeline(
+        CFG16, 3.0, n_streams=1, wire_dtype="int16", device_ring=False, **KW
+    )
+    s2 = ms2.open()
+    lane = ms2._lane(s2)
+    ms2.feed(s2, xi[:, None])  # [n, 1] int16 accepted as mono
+    ms2.feed(s2, xi)
+    assert lane._wire_pending == []
+    out = np.concatenate([ms2.feed(s2, xi), ms2.flush(s2)])
+    assert out.dtype == np.int16 and out.size > 0
+
+    # Flush-path force_one rounds have nothing pending: the U=0 bucket
+    # ships zero upload bytes (was a 32768-wide zero bucket per chunk).
+    ms3 = MultiStreamPipeline(CFG16, 3.0, n_streams=1, **KW)
+    s3 = ms3.open()
+    ms3.feed(s3, x)
+    up_before = ms3.stats["bytes_up"]
+    ms3.flush(s3)
+    assert ms3.stats["bytes_up"] == up_before
+
+
 def test_multistream_ring_wraparound_and_split_writes():
     """A stream several times longer than the device ring (forced small
     via max_feed_samples) wraps it repeatedly, and feeds larger than the

@@ -114,6 +114,7 @@ print(
     f"{d['ring_fallbacks']} ring fallbacks"
 )
 print(
-    f"  wire: {d['bytes_up']/1e6:.1f} MB up, {d['bytes_down']/1e6:.1f} MB down "
-    f"({(d['bytes_up']+d['bytes_down'])/(fed/SR)/1e3:.1f} KB per audio-s)"
+    f"  wire: {d['bytes_up']/1e6:.1f} MB audio up + {d['bytes_ctrl']/1e6:.1f} MB "
+    f"control, {d['bytes_down']/1e6:.1f} MB down "
+    f"({(d['bytes_up']+d['bytes_ctrl']+d['bytes_down'])/(fed/SR)/1e3:.1f} KB per audio-s)"
 )

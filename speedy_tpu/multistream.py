@@ -569,7 +569,12 @@ class MultiStreamPipeline:
         # Observability: device dispatches vs work units they carried —
         # the multiplexing ratio (work / dispatches) is the whole point.
         # ring_fallbacks counts dispatches that aged out of the device
-        # ring and took the host-upload path instead.
+        # ring and took the host-upload path instead. Wire ledger
+        # convention: bytes_up = AUDIO payload uploaded; bytes_ctrl =
+        # non-audio control operands (speeds/indices/masks) shipped up;
+        # bytes_down = everything fetched. Audio vs control are split so
+        # the ring regime (audio crosses once, controls every round) and
+        # the host-upload regime stay comparable.
         self.stats = {
             "chunk_dispatches": 0,
             "chunks_processed": 0,
@@ -578,6 +583,7 @@ class MultiStreamPipeline:
             "write_rounds": 0,
             "ring_fallbacks": 0,
             "bytes_up": 0,
+            "bytes_ctrl": 0,
             "bytes_down": 0,
         }
         self._chunk_step, init_state = _batched_chunk_law_step(
@@ -671,19 +677,31 @@ class MultiStreamPipeline:
         error here, never a silent downmix."""
         if self.channels > 1:
             samples = np.asarray(samples, np.float32)
-            assert samples.ndim == 2 and samples.shape[1] == self.channels, (
-                f"channels={self.channels} pipeline takes "
-                f"[n, {self.channels}] feeds (got shape {np.shape(samples)})"
-            )
+            if not (samples.ndim == 2 and samples.shape[1] == self.channels):
+                raise ValueError(
+                    f"channels={self.channels} pipeline takes "
+                    f"[n, {self.channels}] feeds (got shape {np.shape(samples)})"
+                )
             return samples
         samples = np.asarray(samples)
         if samples.ndim == 2 and samples.shape[1] == 1:
             samples = samples[:, 0]
-        assert samples.ndim == 1, (
-            f"channels=1 pipeline takes 1-D mono feeds (got shape "
-            f"{samples.shape}); construct MultiStreamPipeline(channels=C) "
-            "for multichannel streams"
-        )
+        if samples.ndim != 1:
+            raise ValueError(
+                f"channels=1 pipeline takes 1-D mono feeds (got shape "
+                f"{samples.shape}); construct MultiStreamPipeline(channels=C) "
+                "for multichannel streams"
+            )
+        # int16-wire contract checked here too (user-facing validation
+        # must survive python -O, so no asserts on this path): lanes
+        # convert ÷2^15 in _ingest.
+        if self._wire_i16:
+            if samples.dtype != np.int16:
+                raise TypeError(
+                    "wire_dtype='int16' pipelines take int16 PCM feeds "
+                    f"(got {samples.dtype}; construct with "
+                    "wire_dtype='float32' for float feeds)"
+                )
         return samples
 
     def feed(self, sid: int, samples: np.ndarray) -> np.ndarray:
@@ -697,9 +715,15 @@ class MultiStreamPipeline:
     ) -> Dict[int, np.ndarray]:
         """Feed several streams, then run ONE shared pump round — the
         call pattern that maximizes dispatch sharing. Returns each fed
-        stream's drained output."""
-        for sid, samples in pairs:
-            self._lane(sid)._ingest(self._validate_feed(samples))
+        stream's drained output. Validation is atomic: every pair is
+        checked (open stream + feed shape/dtype) before ANY is ingested,
+        so an invalid pair cannot leave earlier pairs half-applied."""
+        validated = [
+            (self._lane(sid), self._validate_feed(samples))
+            for sid, samples in pairs
+        ]
+        for lane, samples in validated:
+            lane._ingest(samples)
         self._pump_all()
         return {sid: self._lane(sid)._drain() for sid, _ in pairs}
 
@@ -855,7 +879,18 @@ class MultiStreamPipeline:
             l._ring_fed += int(pend[l._slot].size)
         total_chunks = int(n_ch.sum())
         self.stats["write_rounds"] += 1
+        # bytes_up is the AUDIO payload; control operands (which ride
+        # the same execute call on this relay) are ledgered separately
+        # in bytes_ctrl so the ring and host regimes stay comparable.
         self.stats["bytes_up"] += int(new.nbytes)
+        self.stats["bytes_ctrl"] += int(
+            n_new.nbytes
+            + hi.nbytes
+            + k0.nbytes
+            + n_ch.nbytes
+            + rgs.nbytes
+            + t_cap.nbytes
+        )
         if total_chunks > 0:
             self.stats["chunk_dispatches"] += 1
             self.stats["chunks_processed"] += total_chunks
@@ -919,6 +954,9 @@ class MultiStreamPipeline:
         self.stats["chunk_dispatches"] += 1
         self.stats["chunks_processed"] += len(items)
         self.stats["bytes_up"] += int(samples.nbytes)
+        self.stats["bytes_ctrl"] += int(
+            ks.nbytes + rgs.nbytes + los.nbytes + his.nbytes + valids.nbytes
+        )
         t_host = np.asarray(tension)
         s_host = np.asarray(speeds)
         self.stats["bytes_down"] += int(t_host.nbytes + s_host.nbytes)
@@ -993,6 +1031,19 @@ class MultiStreamPipeline:
         y, p = jax.device_get((y_d, p_d))
         self.stats["segment_dispatches"] += 1
         self.stats["segments_processed"] += len(reqs)
+        # Ring rounds ship no audio up, but the control vectors (sps is
+        # [N, F_in] f32, the dominant one) still cross the wire — ledger
+        # them so the ring and host-upload regimes are comparable.
+        self.stats["bytes_ctrl"] += int(
+            s0.nbytes
+            + lo.nbytes
+            + hi.nbytes
+            + lens.nbytes
+            + sps.nbytes
+            + ino.nbytes
+            + osh.nbytes
+            + prf.nbytes
+        )
         self.stats["bytes_down"] += int(y.nbytes + p.nbytes)
         return [(y[i], p[i]) for i in slots]
 
@@ -1052,7 +1103,10 @@ class MultiStreamPipeline:
         # Ledger the major operands so the wire counters stay honest in
         # the fallback regime too (segs/seg_ch/speeds up; rows down).
         self.stats["bytes_up"] += int(
-            segs.nbytes + sps.nbytes + (seg_ch.nbytes if seg_ch is not None else 0)
+            segs.nbytes + (seg_ch.nbytes if seg_ch is not None else 0)
+        )
+        self.stats["bytes_ctrl"] += int(
+            sps.nbytes + lens.nbytes + ino.nbytes + osh.nbytes + prf.nbytes
         )
         y = np.asarray(res.output)
         p = np.asarray(periods)

@@ -205,7 +205,7 @@ def test_multistream_int16_wire():
     # Float feeds must be rejected loudly on the int16 wire.
     ms2 = MultiStreamPipeline(CFG16, 3.0, n_streams=1, wire_dtype="int16", **KW)
     sid = ms2.open()
-    with pytest.raises(AssertionError, match="int16"):
+    with pytest.raises(TypeError, match="int16"):
         ms2.feed(sid, x[:1000])
 
 
@@ -220,10 +220,21 @@ def test_multistream_feed_validation_and_bounded_wire():
 
     ms = MultiStreamPipeline(CFG16, 3.0, n_streams=2, **KW)
     sid = ms.open()
-    with pytest.raises(AssertionError, match="channels=1"):
+    with pytest.raises(ValueError, match="channels=1"):
         ms.feed(sid, np.stack([x[:2000], x[:2000]], axis=1))
-    with pytest.raises(AssertionError, match="channels=1"):
+    with pytest.raises(ValueError, match="channels=1"):
         ms.feed_many([(sid, np.stack([x[:2000], x[:2000]], axis=1))])
+    # feed_many validation is ATOMIC: an invalid pair mid-list must not
+    # leave earlier pairs half-ingested (no partial application).
+    fed_before = ms._lane(sid)._fed
+    with pytest.raises(ValueError, match="channels=1"):
+        ms.feed_many(
+            [
+                (sid, x[:2000]),  # valid — must NOT be ingested
+                (sid, np.stack([x[:2000], x[:2000]], axis=1)),  # invalid
+            ]
+        )
+    assert ms._lane(sid)._fed == fed_before
     # [n, 1] is mono: bit-equal to the 1-D feed.
     y_col = np.concatenate([ms.feed(sid, x[:, None]), ms.flush(sid)])
     sid2 = ms.open()

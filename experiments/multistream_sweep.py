@@ -1,0 +1,206 @@
+"""Multistream saturation sweep (round-4 verdict item 2): run the
+MultiStreamPipeline at N = 8/16/32/64/128 concurrent streams (FEED_S=4
+knee, int16 wire), find where the aggregate stops climbing, and fit the
+measured wire/dispatch model so the binding resource is NAMED, not
+asserted.
+
+Model per timed window (CLAUDE.md measurement rules + relay_wire_probe):
+    wall = trips * t_floor + bytes_up_total / bw_up + bytes_down / bw_down
+where trips = executes + result fetches (each execute's operands ride
+the call serially; each result fetch is its own trip), fit by
+least-squares over the sweep points. Residuals <15% validate the model;
+the knee is where d(aggregate)/dN flattens (<10% gain per doubling).
+
+Run: python experiments/multistream_sweep.py           (real chip)
+Env: SWEEP_NS="8,16,32,64,128", SECS (default 48), FEED_S (4),
+     LAT1S=1 adds a FEED_S=1 latency column at each N.
+Writes MULTISTREAM_BENCH.json (the round-4 artifact, extended).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import numpy as np
+
+from speedy_tpu.profiling import enable_compile_cache
+
+enable_compile_cache()
+
+from speedy_tpu.config import SpeedyConfig
+from speedy_tpu.multistream import MultiStreamPipeline
+
+SR = 16000
+RATE = float(os.environ.get("RATE", "3.5"))
+SEG = int(os.environ.get("SEG", "512"))
+CH = int(os.environ.get("CH", "128"))
+SECS = int(os.environ.get("SECS", "48"))
+cfg = SpeedyConfig(SR)
+
+
+def stream_audio(seed, secs):
+    rng = np.random.default_rng(seed)
+    t = np.arange(SR * secs) / SR
+    f0 = 110.0 + 40.0 * rng.random() + 30.0 * np.sin(2 * np.pi * 0.5 * t)
+    x = (
+        sum(np.sin(k * np.cumsum(2 * np.pi * f0 / SR)) / k for k in range(1, 5))
+        * np.clip(np.sin(2 * np.pi * (1.5 + rng.random()) * t), 0, None)
+        * 0.3
+        + 0.003 * rng.standard_normal(t.size)
+    ).astype(np.float32)
+    return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+
+
+def run_point(n, feed_s, secs):
+    feed = int(feed_s * SR)
+    xs = [stream_audio(100 + i, secs) for i in range(n)]
+    ms = MultiStreamPipeline(
+        cfg, RATE, n_streams=n, chunk_frames=CH, segment_frames=SEG,
+        wire_dtype="int16", max_feed_samples=max(131072, feed),
+    )
+    sids = [ms.open() for _ in range(n)]
+    seg_samples = SEG * cfg.frame_step_int
+    warm_rounds = (2 * seg_samples) // feed + 2
+    pos = 0
+    for _ in range(warm_rounds):
+        ms.feed_many([(s, xs[i][pos : pos + feed]) for i, s in enumerate(sids)])
+        pos += feed
+    snap = dict(ms.stats)
+    lat = []
+    t0 = time.perf_counter()
+    fed = 0
+    while pos + feed <= len(xs[0]):
+        r0 = time.perf_counter()
+        ms.feed_many([(s, xs[i][pos : pos + feed]) for i, s in enumerate(sids)])
+        lat.append(time.perf_counter() - r0)
+        pos += feed
+        fed += feed * n
+    dt = time.perf_counter() - t0
+    d = {k: ms.stats[k] - snap[k] for k in ms.stats}
+    for s in sids:
+        ms.flush(s)
+    lat = np.asarray(lat)
+    executes = d["write_rounds"] + d["segment_dispatches"]
+    # Each ring-round execute fetches its speeds block; each segment
+    # execute fetches (y, p) — one result trip per execute.
+    trips = 2 * executes
+    point = {
+        "n": n,
+        "feed_s": feed_s,
+        "aggregate": round(fed / SR / dt, 1),
+        "per_stream": round(fed / SR / dt / n, 2),
+        "audio_s": fed / SR,
+        "wall_s": round(dt, 2),
+        "latency_ms": {
+            "p50": round(float(np.percentile(lat, 50)) * 1e3, 1),
+            "p90": round(float(np.percentile(lat, 90)) * 1e3, 1),
+            "p99": round(float(np.percentile(lat, 99)) * 1e3, 1),
+            "max": round(float(lat.max()) * 1e3, 1),
+        },
+        "executes": executes,
+        "trips": trips,
+        "bytes_up": d["bytes_up"] + d["bytes_ctrl"],
+        "bytes_down": d["bytes_down"],
+        "ring_fallbacks": d["ring_fallbacks"],
+    }
+    print(
+        f"N={n:4d} feed={feed_s}s: {point['aggregate']:7.1f} audio-s/s "
+        f"({point['per_stream']:.2f}/stream)  p50 {point['latency_ms']['p50']:.0f} ms  "
+        f"wire {point['bytes_up']/1e6:.1f}MB up / {point['bytes_down']/1e6:.1f}MB down  "
+        f"{executes} executes in {dt:.1f}s",
+        flush=True,
+    )
+    return point
+
+
+def fit_model(points):
+    """Least-squares wall = trips*t_floor + up/bw_up + down/bw_down.
+    Fit x = [t_floor, 1/bw_up, 1/bw_down] with nonnegativity by clamping."""
+    A = np.array(
+        [[p["trips"], p["bytes_up"], p["bytes_down"]] for p in points],
+        np.float64,
+    )
+    b = np.array([p["wall_s"] for p in points], np.float64)
+    x, *_ = np.linalg.lstsq(A, b, rcond=None)
+    x = np.maximum(x, 0.0)
+    pred = A @ x
+    resid = (pred - b) / b
+    return x, pred, resid
+
+
+def main():
+    ns = [int(v) for v in os.environ.get("SWEEP_NS", "8,16,32,64,128").split(",")]
+    points = [run_point(n, float(os.environ.get("FEED_S", "4")), SECS) for n in ns]
+    lat_points = []
+    if os.environ.get("LAT1S", "1") == "1":
+        for n in (32, 64):
+            if n in ns:
+                lat_points.append(run_point(n, 1.0, min(SECS, 24)))
+
+    x, pred, resid = fit_model(points)
+    t_floor, inv_up, inv_down = x
+    model = {
+        "t_floor_ms_per_trip": round(t_floor * 1e3, 1),
+        "bw_up_MBps": round(1e-6 / inv_up, 1) if inv_up > 0 else None,
+        "bw_down_MBps": round(1e-6 / inv_down, 1) if inv_down > 0 else None,
+        "pred_wall_s": [round(v, 2) for v in pred],
+        "residual_pct": [round(100 * v, 1) for v in resid],
+    }
+    print(f"model fit: {model}", flush=True)
+
+    # Knee: last N where the aggregate gained >= 10% over the previous.
+    knee = points[0]["n"]
+    for prev, cur in zip(points, points[1:]):
+        if cur["aggregate"] >= 1.10 * prev["aggregate"]:
+            knee = cur["n"]
+    best = max(points, key=lambda p: p["aggregate"])
+
+    # Name the binding resource at the best point from the fitted shares.
+    shares = {
+        "dispatch_floor": t_floor * best["trips"],
+        "wire_up": inv_up * best["bytes_up"],
+        "wire_down": inv_down * best["bytes_down"],
+    }
+    unexplained = best["wall_s"] - sum(shares.values())
+    shares["device_and_host_residual"] = max(unexplained, 0.0)
+    binding = max(shares, key=lambda k: shares[k])
+
+    out = {
+        "metric": (
+            "concurrent multi-stream serving aggregate sweep "
+            f"(N streams, 16 kHz, {RATE}x nonlinear, MultiStreamPipeline, "
+            "real v5e chip via relay)"
+        ),
+        "value": best["aggregate"],
+        "unit": "audio-s/s aggregate",
+        "best_n": best["n"],
+        "knee_n": knee,
+        "binding_resource": binding,
+        "shares_at_best_s": {k: round(v, 2) for k, v in shares.items()},
+        "sweep": points,
+        "latency_points_feed1s": lat_points,
+        "model": model,
+        "vs_single_stream": round(best["aggregate"] / 10.0, 1),
+        "design": (
+            "device-resident sliding-window audio (each sample crosses the "
+            "relay wire once), fused ring-write + masked multi-chunk "
+            "analysis+law round program, ring-sourced WSOLA segment "
+            "dispatches with rate-derived output trim, int16 PCM wire both "
+            "directions"
+        ),
+        "provenance": (
+            f"experiments/multistream_sweep.py, SECS={SECS}, seg={SEG}, "
+            f"ch={CH}, content re-randomized per stream and feed; "
+            "single-stream baseline ~10 audio-s/s"
+        ),
+    }
+    path = os.path.join(os.path.dirname(__file__), "..", "MULTISTREAM_BENCH.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {os.path.abspath(path)}")
+
+
+if __name__ == "__main__":
+    main()

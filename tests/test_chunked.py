@@ -38,6 +38,7 @@ def test_chunked_matches_full_on_tapestry(chunk):
     np.testing.assert_allclose(got, full, rtol=0, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_chunked_matches_full_ten_minutes():
     """The §5.7 gate: a 10-minute utterance streams through the chunked
     scan with fixed per-step state and reproduces the full-materialization

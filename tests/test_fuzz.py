@@ -10,7 +10,13 @@ from speedy_tpu.pipeline import linear_time_scale, nonlinear_speedup
 from speedy_tpu.streaming import SonicStream
 
 
-@pytest.mark.parametrize("seed", range(6))
+def seeds(n):
+    """Seed 0 stays in the default tier (smoke fuzz); the rest are
+    the slow tier (round-4 verdict item 7: tiered suite)."""
+    return [0] + [pytest.param(s, marks=pytest.mark.slow) for s in range(1, n)]
+
+
+@pytest.mark.parametrize("seed", seeds(6))
 def test_fuzz_pipeline(seed):
     rng = np.random.default_rng(seed)
     sr = int(rng.choice([8000, 16000, 22050, 44100]))
@@ -39,7 +45,7 @@ def test_fuzz_pipeline(seed):
     assert abs(len(r2.output) - expected) < 0.05 * expected + 3 * cfg.wsola_max_period
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", seeds(4))
 def test_fuzz_streaming_chunkings(seed):
     """Arbitrary write/read chunk sizes must not change the output."""
     rng = np.random.default_rng(100 + seed)
@@ -79,7 +85,7 @@ def test_fuzz_streaming_chunkings(seed):
     np.testing.assert_array_equal(got, ref)
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", seeds(3))
 def test_fuzz_batch_engine_extreme_rates(seed):
     """Batch engine (span-gather mode) at extreme global rates and mixed
     lengths: the speed-plan clamp and span bounds must hold, outputs stay

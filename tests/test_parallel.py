@@ -227,6 +227,14 @@ def test_corpus_packed_wire_bit_exact():
     res_i16 = eng_i16.process(utts_i)
     assert all(r.dtype == np.int16 for r in res_i16)
     assert eng_i16.stats["wire_up_bytes"] < 3 * sum(u.nbytes for u in utts_i)
+    # Packed DOWN-wire (round-5): the fetch is the device-compacted
+    # valid prefix — real output bytes + one host quantum (65536
+    # samples) per batch + the valid vector, NOT the [B, cap] buffer.
+    real_down = sum(r.nbytes for r in res_i16)
+    assert eng_i16.stats["wire_down_bytes"] <= real_down + 2 * 65536 + 64, (
+        eng_i16.stats["wire_down_bytes"],
+        real_down,
+    )
 
     eng_f32 = CorpusEngine(cfg, 3.0, batch_size=4, int16_wire=False)
     res_f32 = eng_f32.process(utts_i)  # same int16 corpus, float wire
@@ -251,6 +259,7 @@ def test_corpus_packed_wire_bit_exact():
         np.testing.assert_array_equal(res_pf[j], y[k, : valid[k]])
 
 
+@pytest.mark.slow  # ~3 min; the driver itself runs dryrun_multichip every round
 def test_dryrun_multichip_entry():
     """The driver's multi-chip dry run must compile and execute."""
     import sys, pathlib

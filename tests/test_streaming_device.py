@@ -170,6 +170,7 @@ def test_streamed_other_sample_rates(sr):
     assert np.isfinite(y).all()
 
 
+@pytest.mark.slow
 def test_streamed_fuzz_matches_single_shot():
     """Randomized lengths / speeds / segmentations vs the single-shot
     batched engine (deterministic seeds)."""
@@ -346,6 +347,7 @@ def test_streamed_checkpoint_plan_mismatch_rejected():
         p_bad2.load_state_dict(snap)
 
 
+@pytest.mark.slow
 def test_streamed_ten_minute_endurance():
     """Endurance: a 10-minute utterance streams in seconds of wall time
     with ~40 phase re-bases and bounded state; rate lands at the law's

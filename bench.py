@@ -114,6 +114,7 @@ def corpus_main():
         use_mesh=os.environ.get("SPEEDY_BENCH_NO_MESH", "0") != "1",
         capacity_factor=cap_factor,
         stream_batch=stream_b,
+        bucket_ratio=float(os.environ.get("SPEEDY_BENCH_BUCKET_RATIO", "2.0")),
     )
 
     warm = synth_corpus(1)
@@ -143,12 +144,14 @@ def corpus_main():
     short = sorted(
         (len(corpus[i]) for i in range(n_utt) if i not in set(idx_long))
     )
+    # Mirror process()'s bucket-grouped batching for the padding model.
+    by_bucket = {}
+    for n in short:
+        by_bucket.setdefault(eng._bucket_length(n), []).append(n)
     padded_audio = 0.0
-    for i in range(0, len(short), batch):
-        chunk = short[i : i + batch]
-        padded_audio += (
-            CorpusEngine._bucket_length(max(chunk)) * len(chunk) / sample_rate
-        )
+    for L, grp in sorted(by_bucket.items()):
+        for i in range(0, len(grp), batch):
+            padded_audio += L * len(grp[i : i + batch]) / sample_rate
     n_disp = eng.stats["batches"] + eng.stats["retry_batches"]
     stream_disp = (
         eng.stats["stream_chunk_dispatches"]
@@ -164,6 +167,7 @@ def corpus_main():
             padded_audio / max(total_audio - long_audio, 1e-9) - 1, 3
         ),
         "long_streamed_audio_s": round(long_audio, 1),
+        "bucket_ratio": eng.bucket_ratio,
         "corpus_dtype": "float32" if as_f32 else "int16",
         # Packed wire: only real samples cross the relay (bucket padding
         # is device-built). At the probed relay rates (~40 MB/s up /

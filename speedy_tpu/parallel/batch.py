@@ -916,6 +916,7 @@ class CorpusEngine:
         stream_batch: int = 8,
         stream_kw: Optional[dict] = None,
         int16_wire: bool = True,
+        bucket_ratio: float = 2.0,
     ):
         self.cfg = cfg
         self.global_speed = float(global_speed)
@@ -959,6 +960,16 @@ class CorpusEngine:
         # round 2 (breaks the f32 quality-gate architecture). False
         # forces float32 wire and float32 results everywhere.
         self.int16_wire = bool(int16_wire)
+        # Bucket ladder ratio: padded length quantization is geometric
+        # from 4096 with this ratio (2.0 = the classic power-of-two
+        # ladder). Finer ratios (1.25/1.5) cut device padding waste
+        # multiplicatively (process() groups batches BY BUCKET, so
+        # within-batch spread is bounded by the ratio) at the price of
+        # more (B, L) program keys (one warm compile each, amortized by
+        # enable_compile_cache) and more per-batch dispatch floors on
+        # relay-style hosts. Sweep: experiments/bucket_ladder_sweep.py.
+        assert bucket_ratio > 1.0
+        self.bucket_ratio = float(bucket_ratio)
         self._ms: dict = {}  # wire dtype -> pipeline, reused across process()
         # Observability (reset per process() call): batches dispatched,
         # utterances that hit the rate-derived cap and were retried,
@@ -978,11 +989,13 @@ class CorpusEngine:
             "wire_down_bytes": 0,
         }
 
-    @staticmethod
-    def _bucket_length(n: int) -> int:
-        b = 4096
+    def _bucket_length(self, n: int) -> int:
+        """Smallest ladder value >= n: b_k = 4096 * ratio^k rounded up
+        to a 1024 multiple (stable keys for the program cache)."""
+        b, exact = 4096, 4096.0
         while b < n:
-            b *= 2
+            exact *= self.bucket_ratio
+            b = -(-int(np.ceil(exact)) // 1024) * 1024
         return b
 
     @staticmethod
@@ -1186,14 +1199,27 @@ class CorpusEngine:
             for j, y in self._process_streaming_many(long_mono).items():
                 results[j] = y
 
+        # Batches are grouped BY BUCKET (not just sorted): within-batch
+        # padding spread is then bounded by the ladder ratio, so a finer
+        # bucket_ratio cuts device padding waste directly. Sorting inside
+        # each bucket keeps lengths adjacent for the capacity plan.
         order = sorted(batched_idx, key=lambda j: len(utterances[j]))
+        by_bucket: dict = {}
+        for j in order:
+            by_bucket.setdefault(
+                self._bucket_length(len(utterances[j])), []
+            ).append(j)
         # (bucket_L) -> list of result indices: inputs whose rate-derived
         # capacity truncated, re-run BATCHED under the worst-case plan
         # after the main sweep (round-2 retried at B=1 per utterance — a
         # tension-saturated corpus degraded quietly).
         retry: dict = {}
-        for i in range(0, len(order), self.batch_size):
-            idxs = order[i : i + self.batch_size]
+        batch_groups = [
+            grp[i : i + self.batch_size]
+            for _, grp in sorted(by_bucket.items())
+            for i in range(0, len(grp), self.batch_size)
+        ]
+        for idxs in batch_groups:
             batch = [utterances[j] for j in idxs]
             L = self._bucket_length(max(len(u) for u in batch))
             rows, valid, cap = self._run_bucket_packed(batch, self.capacity_factor)

@@ -132,7 +132,19 @@ def fit_model(points):
 
 def main():
     ns = [int(v) for v in os.environ.get("SWEEP_NS", "8,16,32,64,128").split(",")]
-    points = [run_point(n, float(os.environ.get("FEED_S", "4")), SECS) for n in ns]
+    points = []
+    for n in ns:
+        # The relay occasionally throws a transient INTERNAL backend
+        # error mid-fetch; one retry per point keeps the sweep alive.
+        for attempt in (0, 1):
+            try:
+                points.append(run_point(n, float(os.environ.get("FEED_S", "4")), SECS))
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"N={n} attempt {attempt} failed: {e!r}", flush=True)
+                if attempt == 1:
+                    raise
+                time.sleep(10)
     lat_points = []
     if os.environ.get("LAT1S", "1") == "1":
         for n in (32, 64):

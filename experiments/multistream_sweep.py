@@ -130,26 +130,46 @@ def fit_model(points):
     return x, pred, resid
 
 
+def run_point_subprocess(n, feed_s, secs):
+    """One point per FRESH interpreter: the relay backend accumulates
+    state across many large program builds in one process and starts
+    throwing INTERNAL errors (N<=32 then N=64 in-process fails; N=64
+    alone succeeds). The persistent compile cache keeps re-warm cheap.
+    One retry absorbs genuinely transient relay errors."""
+    import subprocess
+
+    env = dict(os.environ, SWEEP_POINT=f"{n}:{feed_s}:{secs}")
+    for attempt in (0, 1):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        for line in p.stdout.splitlines():
+            if line.startswith("POINT "):
+                print(line[6:], flush=True)
+                return json.loads(line[6:])
+        print(
+            f"N={n} attempt {attempt} failed:\n{p.stdout[-800:]}\n{p.stderr[-800:]}",
+            flush=True,
+        )
+        time.sleep(10)
+    raise RuntimeError(f"sweep point N={n} failed twice")
+
+
 def main():
+    if "SWEEP_POINT" in os.environ:
+        n, feed_s, secs = os.environ["SWEEP_POINT"].split(":")
+        pt = run_point(int(n), float(feed_s), int(secs))
+        print("POINT " + json.dumps(pt), flush=True)
+        return
     ns = [int(v) for v in os.environ.get("SWEEP_NS", "8,16,32,64,128").split(",")]
-    points = []
-    for n in ns:
-        # The relay occasionally throws a transient INTERNAL backend
-        # error mid-fetch; one retry per point keeps the sweep alive.
-        for attempt in (0, 1):
-            try:
-                points.append(run_point(n, float(os.environ.get("FEED_S", "4")), SECS))
-                break
-            except Exception as e:  # noqa: BLE001
-                print(f"N={n} attempt {attempt} failed: {e!r}", flush=True)
-                if attempt == 1:
-                    raise
-                time.sleep(10)
+    feed_s = float(os.environ.get("FEED_S", "4"))
+    points = [run_point_subprocess(n, feed_s, SECS) for n in ns]
     lat_points = []
     if os.environ.get("LAT1S", "1") == "1":
         for n in (32, 64):
             if n in ns:
-                lat_points.append(run_point(n, 1.0, min(SECS, 24)))
+                lat_points.append(run_point_subprocess(n, 1.0, min(SECS, 24)))
 
     x, pred, resid = fit_model(points)
     t_floor, inv_up, inv_down = x

@@ -535,9 +535,65 @@ class MultiStreamPipeline:
         max_feed_samples: int = 131072,
         device_ring: bool = True,
         out_cap_factor: float = 1.5,
+        max_group_streams: int = 48,
     ):
         assert n_streams >= 1 and channels >= 1
         assert wire_dtype in ("float32", "int16")
+        # DISPATCH GROUPS: pipelines wider than max_group_streams are
+        # composed of independent child pipelines of <= that many slots,
+        # each with its own ring/carries but SHARING compiled programs
+        # (the step factories are lru-cached on shapes). Rationale
+        # (round 5, measured): single fused [N, ...] executes through
+        # the relay become unreliable past N~48 — N<=48 runs green
+        # including flush, N=56/64 nondeterministically fail with
+        # INTERNAL/FAILED_PRECONDITION backend errors (probe history in
+        # MULTISTREAM_BENCH.json). Bounding execute width trades one
+        # extra dispatch floor per extra group for reliability; the
+        # serving aggregate stays wire-bound. Per-lane outputs are
+        # bit-identical either way (each lane's math is row-local).
+        self._groups: Optional[List["MultiStreamPipeline"]] = None
+        if n_streams > max_group_streams:
+            n_groups = -(-n_streams // max_group_streams)
+            base = n_streams // n_groups
+            sizes = [
+                base + (1 if g < n_streams - base * n_groups else 0)
+                for g in range(n_groups)
+            ]
+            self._stride = max_group_streams
+            self._groups = [
+                MultiStreamPipeline(
+                    cfg,
+                    global_speed,
+                    n_streams=sz,
+                    nonlinear_factor=nonlinear_factor,
+                    duration_feedback_strength=duration_feedback_strength,
+                    chunk_frames=chunk_frames,
+                    segment_frames=segment_frames,
+                    channels=channels,
+                    min_speed_bound=min_speed_bound,
+                    max_speed_bound=max_speed_bound,
+                    phase_ref_limit=phase_ref_limit,
+                    wire_dtype=wire_dtype,
+                    max_feed_samples=max_feed_samples,
+                    device_ring=device_ring,
+                    out_cap_factor=out_cap_factor,
+                    max_group_streams=max_group_streams,
+                )
+                for sz in sizes
+            ]
+            c0 = self._groups[0]
+            self.cfg, self.rg, self.nl, self.fb = cfg, c0.rg, c0.nl, c0.fb
+            self.n_slots = int(n_streams)
+            self.channels = c0.channels
+            self.Ch, self.Fseg, self.step = c0.Ch, c0.Fseg, c0.step
+            self._wire_i16, self._wire_np = c0._wire_i16, c0._wire_np
+            self.max_feed = c0.max_feed
+            self.min_sb, self.max_sb = c0.min_sb, c0.max_sb
+            self.capacity, self.out_cap = c0.capacity, c0.out_cap
+            self.L_seg, self.F_in, self.K_st = c0.L_seg, c0.F_in, c0.K_st
+            self.R = getattr(c0, "R", 0)
+            self._lanes = []  # composite holds no lanes of its own
+            return
         self.cfg = cfg
         self.rg = float(global_speed)
         self.nl = float(nonlinear_factor)
@@ -639,6 +695,11 @@ class MultiStreamPipeline:
         """Acquire a free stream slot; returns the stream id. Raises if
         all slots are busy, or if the requested rate needs a larger
         speed-bound plan than this pipeline was constructed with."""
+        if self._groups is not None:
+            for gi, g in enumerate(self._groups):
+                if g.n_active < g.n_slots:
+                    return gi * self._stride + g.open(global_speed)
+            raise RuntimeError(f"all {self.n_slots} stream slots are busy")
         speed = self.rg if global_speed is None else float(global_speed)
         if not (self.min_sb <= speed and _plan_max_speed(speed, self.nl) <= self.max_sb):
             raise ValueError(
@@ -656,6 +717,9 @@ class MultiStreamPipeline:
         self._lanes[slot] = None
 
     def _lane(self, sid: int) -> _Lane:
+        if self._groups is not None:
+            child, local = self._route(sid)
+            return child._lane(local)
         lane = (
             self._lanes[sid] if 0 <= sid < self.n_slots else None
         )
@@ -665,7 +729,32 @@ class MultiStreamPipeline:
 
     @property
     def n_active(self) -> int:
+        if self._groups is not None:
+            return sum(g.n_active for g in self._groups)
         return sum(l is not None for l in self._lanes)
+
+    # ---------- dispatch-group composition (see __init__) ----------
+
+    @property
+    def stats(self) -> dict:
+        """Counters; for a grouped pipeline, the sum over children
+        (a snapshot — mutate child stats, not the merged view)."""
+        if self._groups is not None:
+            merged: dict = {}
+            for g in self._groups:
+                for k, v in g.stats.items():
+                    merged[k] = merged.get(k, 0) + v
+            return merged
+        return self._stats
+
+    @stats.setter
+    def stats(self, value: dict) -> None:
+        self._stats = value
+
+    def _route(self, sid: int):
+        if not (0 <= sid < self._stride * len(self._groups)):
+            raise KeyError(f"stream {sid} is not open")
+        return self._groups[sid // self._stride], sid % self._stride
 
     # ---------- public stream API ----------
 
@@ -746,6 +835,12 @@ class MultiStreamPipeline:
         return [l for l in self._lanes if l is not None]
 
     def _pump_all(self) -> None:
+        if self._groups is not None:
+            # One round per child: each child's lanes share its fused
+            # dispatches; idle children no-op without any device call.
+            for g in self._groups:
+                g._pump_all()
+            return
         lanes = self._active_lanes()
         if self._ring is not None:
             # Ring rounds: write pending uploads + run ready chunks until

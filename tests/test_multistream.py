@@ -452,3 +452,49 @@ def test_multistream_feed_chunking_invariance():
         ms.flush(s2)
         runs.append(np.concatenate(outs))
     np.testing.assert_array_equal(runs[0], runs[1])
+
+
+def test_multistream_dispatch_groups_bitwise():
+    """Grouped pipelines (n_streams > max_group_streams) split into
+    child pipelines with bounded execute width (the round-5 relay
+    finding: fused executes past ~48 rows are unreliable through the
+    relay). Contract: identical public API, per-stream outputs
+    BIT-IDENTICAL to both a standalone pipeline and an ungrouped
+    multistream; slot lifecycle and merged stats counters work across
+    groups."""
+    xs = [speechlike(3.0 + 0.5 * i, seed=40 + i) for i in range(5)]
+    refs = [single_stream_ref(x, 3.0, **KW) for x in xs]
+
+    ms = MultiStreamPipeline(CFG16, 3.0, n_streams=5, max_group_streams=2, **KW)
+    assert ms._groups is not None and len(ms._groups) == 3
+    assert ms.n_slots == 5
+    sids = [ms.open() for _ in xs]
+    outs = {s: [] for s in sids}
+    pos = [0] * 5
+    chunk = 15000
+    while any(pos[i] < len(xs[i]) for i in range(5)):
+        pairs = []
+        for i in range(5):
+            if pos[i] < len(xs[i]):
+                pairs.append((sids[i], xs[i][pos[i] : pos[i] + chunk]))
+                pos[i] += chunk
+        for s, y in ms.feed_many(pairs).items():
+            outs[s].append(y)
+    st = ms.stats  # merged view across children
+    assert st["chunks_processed"] > 0 and st["segments_processed"] > 0
+    for s in sids:
+        outs[s].append(ms.flush(s))
+    assert ms.n_active == 0
+    for i, s in enumerate(sids):
+        np.testing.assert_array_equal(
+            np.concatenate(outs[s]), refs[i], err_msg=f"stream {i}"
+        )
+    # Slot reuse across groups after release.
+    s2 = ms.open()
+    y = np.concatenate([ms.feed(s2, xs[0]), ms.flush(s2)])
+    np.testing.assert_array_equal(y, refs[0])
+    # Validation still routes (composite _validate_feed + atomicity).
+    s3 = ms.open()
+    with pytest.raises(ValueError, match="channels=1"):
+        ms.feed_many([(s3, np.stack([xs[0][:2000]] * 2, axis=1))])
+    ms.flush(s3)

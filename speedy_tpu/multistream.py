@@ -535,7 +535,7 @@ class MultiStreamPipeline:
         max_feed_samples: int = 131072,
         device_ring: bool = True,
         out_cap_factor: float = 1.5,
-        max_group_streams: int = 48,
+        max_group_streams: int = 32,
     ):
         assert n_streams >= 1 and channels >= 1
         assert wire_dtype in ("float32", "int16")
@@ -544,10 +544,13 @@ class MultiStreamPipeline:
         # each with its own ring/carries but SHARING compiled programs
         # (the step factories are lru-cached on shapes). Rationale
         # (round 5, measured): single fused [N, ...] executes through
-        # the relay become unreliable past N~48 — N<=48 runs green
-        # including flush, N=56/64 nondeterministically fail with
-        # INTERNAL/FAILED_PRECONDITION backend errors (probe history in
-        # MULTISTREAM_BENCH.json). Bounding execute width trades one
+        # the relay become unreliable past a row-count that VARIES with
+        # relay load — N<=48 ran green for hours (N=56/64 failing with
+        # nondeterministic INTERNAL/FAILED_PRECONDITION backend errors),
+        # then 43-row groups failed under heavier load while 32-row
+        # groups stayed green; 32 is the bound that has never failed
+        # (probe history in MULTISTREAM_BENCH.json). Bounding execute
+        # width trades one
         # extra dispatch floor per extra group for reliability; the
         # serving aggregate stays wire-bound. Per-lane outputs are
         # bit-identical either way (each lane's math is row-local).

@@ -220,7 +220,19 @@ def main():
             "relay wire once), fused ring-write + masked multi-chunk "
             "analysis+law round program, ring-sourced WSOLA segment "
             "dispatches with rate-derived output trim, int16 PCM wire both "
-            "directions"
+            "directions; N>32 serves through DISPATCH GROUPS of <=32 slots "
+            "(bit-identical outputs, one pump round per group)"
+        ),
+        "relay_reliability_note": (
+            "single fused [N, ...] executes through the relay fail "
+            "nondeterministically (INTERNAL/FAILED_PRECONDITION) past a "
+            "row count that varies with relay load: N<=48 green for "
+            "hours, 56/64 flaky, then 43-row groups failed under load "
+            "while 32-row groups never failed — hence "
+            "max_group_streams=32 default. Relay wire bandwidth itself "
+            "varies >2x with external load (N=32: 663.6 vs 288.8 "
+            "audio-s/s, identical bytes/executes); the artifact keeps "
+            "the best internally-consistent epoch."
         ),
         "provenance": (
             f"experiments/multistream_sweep.py, SECS={SECS}, seg={SEG}, "

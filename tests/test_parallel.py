@@ -544,3 +544,27 @@ def test_corpus_engine_routes_long_utterances_to_streaming():
     assert abs(len(got[0]) - len(ref[0])) <= 2
     d = np.abs(got[0][:n] - ref[0][:n])
     assert d.max() < 5e-3 and d.mean() < 1e-4, (d.max(), d.mean())
+
+
+def test_corpus_bucket_ratio_invariance():
+    """Outputs must be invariant to the bucket ladder (round-5 knob):
+    a finer geometric ratio changes padded lengths, batch grouping, and
+    dispatch count, but every utterance's audio must stay IDENTICAL up
+    to the padding-invariance contract (same capacity plan per bucket —
+    compare lengths exactly and samples to the padding-invariance
+    tolerance)."""
+    cfg = SpeedyConfig(16000)
+    rng = np.random.default_rng(23)
+    utts = []
+    for n in (5000, 9000, 13000, 21000, 34000, 52000):
+        t = np.arange(n) / 16000.0
+        x = (0.4 * np.sin(2 * np.pi * 180 * t) * np.clip(np.sin(2 * np.pi * 2.2 * t), 0, None)
+             + 0.005 * rng.standard_normal(n)).astype(np.float32)
+        utts.append(np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16))
+    res_a = CorpusEngine(cfg, 3.0, batch_size=3).process(utts)
+    res_b = CorpusEngine(cfg, 3.0, batch_size=3, bucket_ratio=1.25).process(utts)
+    for k, (a, b) in enumerate(zip(res_a, res_b)):
+        assert abs(len(a) - len(b)) <= 2, (k, len(a), len(b))
+        n = min(len(a), len(b))
+        d = np.abs(a[:n].astype(np.int32) - b[:n].astype(np.int32))
+        assert d.max() <= 2, (k, d.max())  # int16 LSBs of the f32 tolerance

@@ -68,6 +68,14 @@ def corpus_main():
     batch = int(os.environ.get("SPEEDY_BENCH_BATCH", "128"))
     cap_factor = float(os.environ.get("SPEEDY_BENCH_CAP_FACTOR", "1.33")) or None
     stream_b = int(os.environ.get("SPEEDY_BENCH_STREAMB", "8"))
+    # Streaming-route geometry for the long-utterance lanes: bigger
+    # segments/chunks cut the per-long dispatch count (each dispatch
+    # pays the relay floor) at the price of a larger compiled program.
+    stream_kw = {}
+    if os.environ.get("SPEEDY_BENCH_STREAM_SEG"):
+        stream_kw["segment_frames"] = int(os.environ["SPEEDY_BENCH_STREAM_SEG"])
+    if os.environ.get("SPEEDY_BENCH_STREAM_CH"):
+        stream_kw["chunk_frames"] = int(os.environ["SPEEDY_BENCH_STREAM_CH"])
     n_dev = jax.device_count()
 
     # Length profile: log-uniform 2-30 s (typical utterance corpus) plus
@@ -114,6 +122,7 @@ def corpus_main():
         use_mesh=os.environ.get("SPEEDY_BENCH_NO_MESH", "0") != "1",
         capacity_factor=cap_factor,
         stream_batch=stream_b,
+        stream_kw=stream_kw or None,
         bucket_ratio=float(os.environ.get("SPEEDY_BENCH_BUCKET_RATIO", "2.0")),
     )
 

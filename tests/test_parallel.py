@@ -556,7 +556,7 @@ def test_corpus_bucket_ratio_invariance():
     cfg = SpeedyConfig(16000)
     rng = np.random.default_rng(23)
     utts = []
-    for n in (5000, 9000, 13000, 21000, 34000, 52000):
+    for n in (5000, 9000, 13000, 21000):
         t = np.arange(n) / 16000.0
         x = (0.4 * np.sin(2 * np.pi * 180 * t) * np.clip(np.sin(2 * np.pi * 2.2 * t), 0, None)
              + 0.005 * rng.standard_normal(n)).astype(np.float32)

@@ -48,3 +48,11 @@ def test_device_streaming_example():
         "device_streaming.py", "--seconds", "6", "--set-speed-at", "0.5:4.0"
     )
     assert "streamed" in stdout and "set_speed" in stdout, stdout
+
+
+def test_serving_at_scale_example():
+    out = _run(
+        "serving_at_scale.py", "--streams", "3", "--seconds", "2.5",
+        "--feed-ms", "400",
+    )
+    assert "aggregate" in out and "checkpoint/resumed" in out

@@ -179,6 +179,12 @@ def main():
         "bw_down_MBps": round(1e-6 / inv_down, 1) if inv_down > 0 else None,
         "pred_wall_s": [round(v, 2) for v in pred],
         "residual_pct": [round(100 * v, 1) for v in resid],
+        "identifiability_note": (
+            "bytes_down is ~0.5 x bytes_up at every FEED_S=4 point, so "
+            "the up/down bandwidth split is ill-conditioned; the "
+            "identified quantity is the COMBINED wire s/byte. "
+            "Per-direction attribution leans on relay_wire_probe.py."
+        ),
     }
     print(f"model fit: {model}", flush=True)
 

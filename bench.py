@@ -217,7 +217,11 @@ def corpus_main():
     if os.path.exists(path):
         try:
             with open(path) as f:
-                prev_val = json.load(f).get("value")
+                prev = json.load(f)
+            # Only guard against a SAME-CONFIG epoch (the metric string
+            # embeds rate/corpus size): different configs always write.
+            if prev.get("metric") == line["metric"]:
+                prev_val = prev.get("value")
         except Exception:
             prev_val = None
     if (

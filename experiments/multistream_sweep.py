@@ -258,7 +258,13 @@ def main():
     if os.path.exists(path):
         try:
             with open(path) as f:
-                prev_val = json.load(f).get("value")
+                prev = json.load(f)
+            # Only guard against a SAME-CONFIG epoch (metric embeds the
+            # rate; sweep shape must match too).
+            if prev.get("metric") == out["metric"] and [
+                p["n"] for p in prev.get("sweep", [])
+            ] == [p["n"] for p in points]:
+                prev_val = prev.get("value")
         except Exception:
             prev_val = None
     if (

@@ -113,15 +113,18 @@ def test_gather_rows_n_valid_skip_on_tpu():
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
-def test_fused_synth_kernel_on_tpu():
+@pytest.mark.parametrize("hop", [160, 220, 441])
+def test_fused_synth_kernel_on_tpu(hop):
     """The fused gather+interp+window+OLA kernel must match the XLA synth
     composition on hardware (Mosaic lowering of the t-major layout, fixed
-    hop shifts, cross-block OLA carry, and slot-0 special case)."""
+    hop shifts, cross-block OLA carry, and slot-0 special case) — at
+    every production hop geometry (frame steps of 16/22.05/44.1 kHz;
+    the round-5 rates all serve through this kernel)."""
     from speedy_tpu.ops.pallas_kernels import gather_synth_block_pallas
     from tests.test_pallas_kernels import _synth_reference
 
     rng = np.random.default_rng(9)
-    B, K, hop, L = 4, 300, 160, 60000
+    B, K, L = 4, 300, 60000 * max(1, hop // 160)
     width = 2 * hop + 1
     x = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
     steps = rng.uniform(hop * 0.5, hop * 5.5, (B, K))
@@ -292,7 +295,8 @@ def test_fused_frontend_on_tpu(sr):
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
-def test_pitch_ssd_kernel_on_tpu():
+@pytest.mark.parametrize("sr", [16000, 22050, 44100])
+def test_pitch_ssd_kernel_on_tpu(sr):
     """The production pitch kernel's Mosaic lowering (packed split-complex
     DFT matmuls, template-energy column folded into the lag-energy matmul,
     in-VMEM gain) must match interpret mode on hardware. Periods are
@@ -301,9 +305,16 @@ def test_pitch_ssd_kernel_on_tpu():
     from speedy_tpu.ops.pallas_kernels import pitch_ssd_pallas
 
     rng = np.random.default_rng(11)
-    B, nc, G = 4, 64, 512
-    taps, minp, maxp = 246, 40, 246
-    t = np.arange(nc * G) / 16000.0
+    B, nc = 4, 64
+    # Production geometries per rate (wsola_fast: taps = maxp, G =
+    # pitch_grid_stride): 16 kHz / 22.05 kHz / 44.1 kHz all serve
+    # through this kernel on hardware.
+    G, taps, minp, maxp = {
+        16000: (512, 246, 40, 246),
+        22050: (768, 339, 55, 339),
+        44100: (1408, 678, 110, 678),
+    }[sr]
+    t = np.arange(nc * G) / float(sr)
     voiced = np.sin(2 * np.pi * 130.0 * t) + 0.4 * np.sin(2 * np.pi * 260.0 * t)
     x = np.stack(
         [
@@ -322,11 +333,20 @@ def test_pitch_ssd_kernel_on_tpu():
     # Cells whose TEMPLATE (first `taps` samples) is near-silent have a
     # contrast-free SSD — argmin TIES that MXU vs host rounding resolves
     # differently, absorbed downstream by phase snapping (see CLAUDE.md
-    # pitch-kernel ledger entry). Require agreement only where the
-    # template carries signal (strongly-voiced decisions).
+    # pitch-kernel ledger entry). Where the template carries signal,
+    # decisions must agree EXCEPT for provable SSD ties: at the wider
+    # 22.05/44.1 kHz geometries the harmonic stack makes ~1/200 voiced
+    # cells land on near-exact multi-period ties that hardware MXU vs
+    # interpret rounding resolve differently — every such flip must pass
+    # the float64 tie attribution (the repo's standard for pitch-path
+    # disagreements), and non-flip cells must agree to refinement noise.
     tmpl_rms = np.sqrt((np.asarray(xg)[:, :, :taps] ** 2).mean(axis=2))
     voiced = tmpl_rms > 1e-2
     assert voiced.mean() > 0.5  # the gate must not trivialize the test
-    d = np.abs(hw - it)[voiced]
-    assert (d > 0.5).mean() == 0.0, (d.max(), (d > 0.5).mean())
-    np.testing.assert_allclose(hw[voiced], it[voiced], rtol=0, atol=5e-2)
+    segs = np.asarray(x.reshape(B, nc, G))
+    testutil.assert_period_flips_are_ties(
+        segs, hw, it, taps, minp, maxp, mask=voiced, max_flip_frac=0.01
+    )
+    agree = voiced & (np.abs(hw - it) <= 0.5)
+    assert agree.mean() > 0.95 * voiced.mean()
+    np.testing.assert_allclose(hw[agree], it[agree], rtol=0, atol=5e-2)

@@ -267,15 +267,22 @@ def main():
                 prev_val = prev.get("value")
         except Exception:
             prev_val = None
-    if (
-        os.environ.get("FORCE", "0") != "1"
-        and isinstance(prev_val, (int, float))
-        and prev_val >= out["value"]
+    # An epoch may only become the artifact if it is INTERNALLY
+    # consistent: the wall-model fit must hold (<= 15% residual on every
+    # point). A relay phase change mid-epoch produces a higher best
+    # point with a broken fit — that is noise, not a better epoch.
+    consistent = float(np.max(np.abs(resid))) <= 0.15
+    if os.environ.get("FORCE", "0") != "1" and (
+        not consistent
+        or (isinstance(prev_val, (int, float)) and prev_val >= out["value"])
     ):
-        print(
-            f"kept existing artifact (value {prev_val} >= this epoch's "
-            f"{out['value']} — degraded-relay epoch); FORCE=1 to overwrite"
+        why = (
+            f"fit residuals {model['residual_pct']} exceed 15% (relay "
+            "phase changed mid-epoch)"
+            if not consistent
+            else f"value {prev_val} >= this epoch's {out['value']}"
         )
+        print(f"kept existing artifact ({why}); FORCE=1 to overwrite")
         return
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

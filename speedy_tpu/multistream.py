@@ -516,7 +516,15 @@ class MultiStreamPipeline:
     max_feed_samples bounds the per-round upload bucket (larger feeds
     are uploaded across several write rounds) and sizes the device ring;
     device_ring=False restores the round-3 host-upload dispatches
-    (multichannel pipelines always use them — the ring is mono)."""
+    (multichannel pipelines always use them — the ring is mono).
+
+    Pipelines wider than max_group_streams (default 32) are composed of
+    independent DISPATCH GROUPS of <= that many slots — same API, per
+    -stream outputs bit-identical, one pump round per group (see the
+    __init__ comment and MULTISTREAM_BENCH.json for the measured
+    rationale). Throughput serving favors N=64-96 slots with ~8 s
+    feed_many rounds; ~4 s rounds halve the round latency at a modest
+    aggregate cost (feed8_finding in the artifact)."""
 
     def __init__(
         self,

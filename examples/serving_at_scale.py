@@ -87,7 +87,7 @@ def main():
     # continuation is bit-identical (gated by
     # test_multistream_lane_checkpoint_resume). The abandoned lane is
     # drained to free its slot.
-    snapshot = ms._lane(sids[0]).state_dict()
+    snapshot = ms.state_dict(sids[0])
     ms.flush(sids[0])  # first server drops the caller (tail discarded)
     ms2 = MultiStreamPipeline(
         cfg,
@@ -98,7 +98,7 @@ def main():
         segment_frames=args.segment_frames,
     )
     resumed = ms2.open()
-    ms2._lane(resumed).load_state_dict(snapshot)
+    ms2.load_state_dict(resumed, snapshot)
     outs[sids[0]].append(ms2.flush(resumed))  # caller's tail, server 2
 
     for s in sids[1:]:

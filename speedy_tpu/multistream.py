@@ -840,6 +840,19 @@ class MultiStreamPipeline:
         """Drain the stream's tail and release its slot."""
         return self._lane(sid).flush()
 
+    def state_dict(self, sid: int) -> dict:
+        """Snapshot one stream's complete state (§5.4): restores into a
+        standalone DeviceStreamingPipeline or into a fresh lane of any
+        MultiStreamPipeline (same plan parameters) bit-identically —
+        the mid-stream failover/resume primitive (gated by
+        test_multistream_lane_checkpoint_resume)."""
+        return self._lane(sid).state_dict()
+
+    def load_state_dict(self, sid: int, state: dict) -> None:
+        """Restore a snapshot into stream `sid` (a freshly opened slot);
+        the stream continues bit-identically from the snapshot point."""
+        self._lane(sid).load_state_dict(state)
+
     # ---------- shared dispatch machinery ----------
 
     def _active_lanes(self) -> List[_Lane]:

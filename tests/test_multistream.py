@@ -341,7 +341,7 @@ def test_multistream_lane_checkpoint_resume():
     noise = ms.open()  # concurrent lane keeps the stacked state non-trivial
     head = [ms.feed(s, x[:50000])]
     ms.feed(noise, speechlike(2.0, seed=72))
-    snap = ms._lane(s).state_dict()
+    snap = ms.state_dict(s)  # public §5.4 surface
 
     # (a) standalone pipeline resumes the lane.
     p = DeviceStreamingPipeline(CFG16, 3.0, **KW)
@@ -354,7 +354,7 @@ def test_multistream_lane_checkpoint_resume():
     # (b) a fresh lane of a different MultiStreamPipeline resumes it.
     ms2 = MultiStreamPipeline(CFG16, 3.0, n_streams=2, **KW)
     s2 = ms2.open()
-    ms2._lane(s2).load_state_dict(snap)
+    ms2.load_state_dict(s2, snap)  # public §5.4 surface
     tail_b = [ms2.feed(s2, x[50000:]), ms2.flush(s2)]
     np.testing.assert_array_equal(
         np.concatenate(head + tail_b), ref, err_msg="lane resume"
